@@ -1,0 +1,116 @@
+"""Association score scan: the hot kernel of the framework.
+
+Reference semantics (src/kmers_multiple_databases.cpp:327-363
+`calculate_kmer_score`): for phenotype vector y (padded with zeros to the
+lane width) and a k-mer's presence bits g over N used samples with
+N1 = popcount(g),
+
+    yigi  = sum_i y_i * g_i
+    score = (N*yigi - N1*sum(y))^2 / (N*N1 - N1^2)       (0 if N1 or N0 < mac)
+
+The reference computes yigi row-at-a-time with an SSE4.1 masked accumulate;
+here the whole batch is one bit-matrix x phenotype-matrix product on the MXU:
+scores for R k-mers x P phenotype columns = G(R,N) @ Y(N,P) followed by an
+elementwise VPU epilogue. The CTPL thread pool over phenotype columns
+(associate_kmers.cpp:134-137) collapses into the P axis of the GEMM.
+
+Two implementations:
+  * `score_batch`  — pure-XLA (unpack + dot); runs anywhere, used for tests.
+  * `score_batch_pallas` — fused Pallas TPU kernel: packed uint32 tiles are
+    DMA'd to VMEM, unpacked on the VPU, multiplied on the MXU, and only the
+    (R,P) score tile is written back; the dense (R,N) bit matrix never
+    touches HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitplanes import unpack_bits
+
+
+def prepare_phenotypes(values, n_lanes: int):
+    """Phenotype columns (N, P) -> zero-padded (n_lanes, P) f32 + column sums.
+
+    Zero padding reproduces update_scores_and_sum's resize-with-zeros
+    (kmers_multiple_databases.cpp:288-295); the SSE lane permutation
+    (kmer_general.cpp:155-167 permute_scores) is unnecessary here because the
+    GEMM is order-invariant.
+    """
+    y = jnp.asarray(values, dtype=jnp.float32)
+    if y.ndim == 1:
+        y = y[:, None]
+    n, p = y.shape
+    yp = jnp.zeros((n_lanes, p), jnp.float32).at[:n, :].set(y)
+    return yp, jnp.sum(y, axis=0)
+
+
+def _score_epilogue(yigi, popcnt, y_sum, n_used, min_count):
+    n = jnp.float32(n_used)
+    n1 = popcnt[:, None]
+    r = n * yigi - n1 * y_sum[None, :]
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= min_count) & ((n - n1) >= min_count)
+    return jnp.where(ok, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count"))
+def score_batch(packed, popcnt, y_padded, y_sum, *, n_used: int, min_count: int):
+    """XLA path: (R, W32) packed bits -> (R, P) scores."""
+    g = unpack_bits(packed, jnp.float32)          # (R, N_pad)
+    yigi = jnp.dot(g, y_padded, preferred_element_type=jnp.float32)
+    return _score_epilogue(yigi, popcnt, y_sum, n_used, min_count)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _score_kernel(packed_ref, pop_ref, y_ref, ysum_ref, out_ref,
+                  *, n_used: int, min_count: int):
+    packed = packed_ref[...]                       # (TR, W32) uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    bits = ((packed[:, :, None] >> shifts) & jnp.uint32(1))
+    g = bits.astype(jnp.float32).reshape(packed.shape[0], packed.shape[1] * 32)
+    yigi = jnp.dot(g, y_ref[...], preferred_element_type=jnp.float32)
+    n = jnp.float32(n_used)
+    n1 = pop_ref[...].reshape(-1, 1)
+    r = n * yigi - n1 * ysum_ref[...].reshape(1, -1)
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= jnp.float32(min_count)) & ((n - n1) >= jnp.float32(min_count))
+    out_ref[...] = jnp.where(ok, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count", "tile_rows"))
+def score_batch_pallas(packed, popcnt, y_padded, y_sum, *,
+                       n_used: int, min_count: int, tile_rows: int = 512):
+    """Fused TPU kernel; requires R % tile_rows == 0 (pad upstream)."""
+    rows, w32 = packed.shape
+    n_pad, p = y_padded.shape
+    assert n_pad == w32 * 32, (n_pad, w32)
+    assert rows % tile_rows == 0
+    grid = (rows // tile_rows,)
+    return pl.pallas_call(
+        functools.partial(_score_kernel, n_used=n_used, min_count=min_count),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_rows, w32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * n_pad * p,
+            bytes_accessed=rows * w32 * 4 + n_pad * p * 4 + rows * p * 4,
+            transcendentals=0,
+        ),
+    )(packed, popcnt, y_padded, y_sum)

@@ -1,0 +1,83 @@
+"""Streaming device-resident top-k over the k-mer axis.
+
+Replaces BestAssociationsHeap (src/best_associations_heap.cpp): instead of a
+per-phenotype CPU heap fed row-by-row, each device batch contributes a
+`lax.top_k` and is merged into a carried (P, K) state entirely on device.
+Only the final (scores, row ids) ever reach the host; winner k-mer codes and
+presence rows are then gathered from the table by random access (no second
+full pass, unlike associate_kmers.cpp:178-191).
+
+Tie semantics match the heap: an incumbent is only displaced by a STRICTLY
+greater score (best_associations_heap.cpp:50) — `lax.top_k` is stable and the
+carried state is concatenated before the new batch, so on equal scores the
+earlier (lower-row) entry wins, like the reference.
+
+Row indices can exceed int32 (2B-row tables), so they ride as two int32
+planes (lo 30 bits / hi bits).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ROW_SPLIT = 1 << 30
+
+
+class TopKState(NamedTuple):
+    scores: jax.Array   # (P, K) f32, descending
+    row_lo: jax.Array   # (P, K) int32
+    row_hi: jax.Array   # (P, K) int32
+
+
+def init_state(n_phenotypes: int, k: int) -> TopKState:
+    return TopKState(
+        scores=jnp.full((n_phenotypes, k), -jnp.inf, jnp.float32),
+        row_lo=jnp.zeros((n_phenotypes, k), jnp.int32),
+        row_hi=jnp.zeros((n_phenotypes, k), jnp.int32),
+    )
+
+
+def encode_rows(rows: np.ndarray):
+    rows = np.asarray(rows, dtype=np.int64)
+    return (rows % _ROW_SPLIT).astype(np.int32), (rows // _ROW_SPLIT).astype(np.int32)
+
+
+def decode_rows(row_lo: np.ndarray, row_hi: np.ndarray) -> np.ndarray:
+    return row_hi.astype(np.int64) * _ROW_SPLIT + row_lo.astype(np.int64)
+
+
+@jax.jit
+def update(state: TopKState, batch_scores: jax.Array,
+           row_lo: jax.Array, row_hi: jax.Array) -> TopKState:
+    """Merge a batch: batch_scores (R, P), row_lo/hi (R,) -> new state."""
+    k = state.scores.shape[1]
+    sc = batch_scores.T                                  # (P, R)
+    r = sc.shape[1]
+    if r > k:
+        v, i = jax.lax.top_k(sc, k)                      # (P, K)
+        blo, bhi = row_lo[i], row_hi[i]
+    else:
+        v, blo, bhi = sc, jnp.broadcast_to(row_lo, sc.shape), jnp.broadcast_to(row_hi, sc.shape)
+    cat_v = jnp.concatenate([state.scores, v], axis=1)
+    cat_lo = jnp.concatenate([state.row_lo, blo], axis=1)
+    cat_hi = jnp.concatenate([state.row_hi, bhi], axis=1)
+    nv, j = jax.lax.top_k(cat_v, k)
+    return TopKState(scores=nv,
+                     row_lo=jnp.take_along_axis(cat_lo, j, axis=1),
+                     row_hi=jnp.take_along_axis(cat_hi, j, axis=1))
+
+
+def finalize(state: TopKState):
+    """-> (scores (P, K) f64, rows (P, K) int64) on host, -inf rows dropped
+    per phenotype as ragged lists."""
+    scores = np.asarray(state.scores, dtype=np.float64)
+    rows = decode_rows(np.asarray(state.row_lo), np.asarray(state.row_hi))
+    out = []
+    for p in range(scores.shape[0]):
+        valid = np.isfinite(scores[p])
+        out.append((scores[p][valid], rows[p][valid]))
+    return out

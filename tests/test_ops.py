@@ -1,0 +1,136 @@
+"""Device-op tests (CPU backend): score kernel, streaming top-k, kinship."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kmersgwas_tpu.ops import bitplanes, kinship, score, topk
+
+
+def rand_problem(rng, r=300, n=70, p=5, w_pad=128):
+    n_pad = ((n + w_pad - 1) // w_pad) * w_pad
+    bits = rng.integers(0, 2, size=(r, n)).astype(np.uint8)
+    padded = np.zeros((r, n_pad), dtype=np.uint8)
+    padded[:, :n] = bits
+    packed = bitplanes.pack_bits_np(padded)
+    y = rng.normal(size=(n, p))
+    return bits, packed, y, n_pad
+
+
+def reference_scores(bits, y, min_count):
+    """Direct NumPy transcription of calculate_kmer_score
+    (kmers_multiple_databases.cpp:327-363)."""
+    n = bits.shape[1]
+    n1 = bits.sum(axis=1).astype(np.float64)
+    out = np.zeros((bits.shape[0], y.shape[1]))
+    for j in range(y.shape[1]):
+        yigi = bits @ y[:, j]
+        ysum = y[:, j].sum()
+        r = n * yigi - n1 * ysum
+        denom = n * n1 - n1 * n1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, r * r / denom, 0.0)
+        ok = (n1 >= min_count) & ((n - n1) >= min_count)
+        out[:, j] = np.where(ok, s, 0.0)
+    return out
+
+
+def test_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    bits, packed, _, n_pad = rand_problem(rng)
+    up = np.asarray(bitplanes.unpack_bits(jnp.asarray(packed)))
+    assert np.array_equal(up[:, : bits.shape[1]], bits)
+    assert np.all(up[:, bits.shape[1]:] == 0)
+    pm1 = np.asarray(bitplanes.unpack_bits_pm1(jnp.asarray(packed)))
+    assert np.array_equal(pm1[:, : bits.shape[1]], bits.astype(np.int8) * 2 - 1)
+
+
+def test_popcount_rows():
+    rng = np.random.default_rng(1)
+    bits, packed, _, _ = rand_problem(rng)
+    pc = np.asarray(bitplanes.popcount_rows(jnp.asarray(packed)))
+    assert np.array_equal(pc, bits.sum(axis=1))
+
+
+@pytest.mark.parametrize("min_count", [1, 5])
+def test_score_batch_matches_reference(min_count):
+    rng = np.random.default_rng(2)
+    bits, packed, y, n_pad = rand_problem(rng)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    got = np.asarray(score.score_batch(
+        jnp.asarray(packed), jnp.asarray(bits.sum(axis=1), jnp.float32),
+        yp, ysum, n_used=n, min_count=min_count))
+    expect = reference_scores(bits, y, min_count)
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-4)
+
+
+def test_score_batch_pallas_interpret_matches_xla():
+    # Pallas kernel in interpret mode (CPU) must agree with the XLA path
+    from functools import partial
+    import jax.experimental.pallas as pl
+    rng = np.random.default_rng(3)
+    bits, packed, y, n_pad = rand_problem(rng, r=256, n=100, p=3)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    xla = score.score_batch(jnp.asarray(packed), pc, yp, ysum,
+                            n_used=n, min_count=2)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        pal = score.score_batch_pallas(jnp.asarray(packed), pc, yp, ysum,
+                                       n_used=n, min_count=2, tile_rows=128)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), rtol=1e-5, atol=1e-5)
+
+
+def test_topk_streaming_matches_global_sort():
+    rng = np.random.default_rng(4)
+    total, p, k = 1000, 3, 50
+    scores_all = rng.normal(size=(total, p)).astype(np.float32)
+    state = topk.init_state(p, k)
+    for start in range(0, total, 128):
+        chunk = scores_all[start:start + 128]
+        rows = np.arange(start, start + len(chunk), dtype=np.int64)
+        lo, hi = topk.encode_rows(rows)
+        state = topk.update(state, jnp.asarray(chunk), jnp.asarray(lo), jnp.asarray(hi))
+    result = topk.finalize(state)
+    for j in range(p):
+        got_scores, got_rows = result[j]
+        order = np.argsort(-scores_all[:, j], kind="stable")[:k]
+        np.testing.assert_allclose(np.sort(got_scores), np.sort(scores_all[order, j]), rtol=1e-6)
+        assert set(got_rows.tolist()) == set(order.tolist())
+
+
+def test_topk_tie_keeps_earliest_row():
+    p, k = 1, 2
+    state = topk.init_state(p, k)
+    sc = np.array([[1.0], [1.0], [1.0], [2.0]], dtype=np.float32)
+    lo, hi = topk.encode_rows(np.arange(4))
+    state = topk.update(state, jnp.asarray(sc), jnp.asarray(lo), jnp.asarray(hi))
+    _, rows = topk.finalize(state)[0]
+    # heap semantics: score-2 row plus the EARLIEST of the tied score-1 rows
+    assert set(rows.tolist()) == {3, 0}
+
+
+def test_topk_row_encoding_large():
+    rows = np.array([0, 2**31 + 5, 2**33, 123456789012], dtype=np.int64)
+    lo, hi = topk.encode_rows(rows)
+    assert np.array_equal(topk.decode_rows(lo, hi), rows)
+
+
+def test_kinship_matches_reference_xnor():
+    rng = np.random.default_rng(5)
+    r, n = 500, 37
+    bits, packed, _, n_pad = rand_problem(rng, r=r, n=n)
+    acc = kinship.KinshipAccumulator(n_used=n, n_pad=n_pad)
+    for start in range(0, r, 200):
+        acc.add(jnp.asarray(packed[start:start + 200]))
+    K = acc.finalize()
+    # reference: K[i][j] = mean over rows of (1 ^ g_i ^ g_j); diag = 1
+    g = bits.astype(np.int64)
+    expect = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            expect[i, j] = np.mean(1 ^ g[:, i] ^ g[:, j])
+    np.fill_diagonal(expect, 1.0)
+    np.testing.assert_allclose(K, expect, atol=1e-12)

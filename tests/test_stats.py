@@ -1,0 +1,211 @@
+"""Statistical-layer tests: REMLE, mvnpermute, exact LMM LRT, transform."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kmersgwas_tpu.stats import emma, lmm, transform
+from kmersgwas_tpu.stats.mvnpermute import mvnpermute
+
+
+def make_kinship(rng, n):
+    """Random PSD kinship-like matrix with unit diagonal."""
+    g = rng.integers(0, 2, size=(400, n)).astype(np.float64)
+    K = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            K[i, j] = np.mean(1 - np.abs(g[:, i] - g[:, j]))
+    np.fill_diagonal(K, 1.0)
+    return K
+
+
+def simulate_phenotype(rng, K, vg, ve):
+    n = K.shape[0]
+    L = np.linalg.cholesky(vg * K + ve * np.eye(n) + 1e-9 * np.eye(n))
+    return L @ rng.normal(size=n)
+
+
+def reference_remle(y, K, ngrids=100, llim=-10, ulim=10, esp=1e-10):
+    """Literal NumPy/SciPy transcription of emma.REMLE (emma.R:392-493)."""
+    from scipy.optimize import brentq
+    n = len(y)
+    X = np.ones((n, 1))
+    q = 1
+    S = np.eye(n) - X @ np.linalg.solve(X.T @ X, X.T)
+    w, v = np.linalg.eigh(S @ (K + np.eye(n)) @ S)
+    w = w[::-1][: n - q] - 1.0
+    v = v[:, ::-1][:, : n - q]
+    etas = v.T @ y
+    etasq = etas**2
+
+    def dLL(logdelta):
+        d = np.exp(logdelta)
+        ld = w + d
+        return 0.5 * d * ((n - q) * np.sum(etasq / ld**2) / np.sum(etasq / ld)
+                          - np.sum(1.0 / ld))
+
+    def LL(logdelta):
+        d = np.exp(logdelta)
+        ld = w + d
+        nq = n - q
+        return 0.5 * (nq * (np.log(nq / (2 * np.pi)) - 1 - np.log(np.sum(etasq / ld)))
+                      - np.sum(np.log(ld)))
+
+    grid = np.linspace(llim, ulim, ngrids + 1)
+    dll = np.array([dLL(g) for g in grid])
+    cands = []
+    if dll[0] < esp:
+        cands.append(llim)
+    if dll[-1] > -esp:
+        cands.append(ulim)
+    for i in range(ngrids):
+        if dll[i] * dll[i + 1] < -esp * esp and dll[i] > 0 and dll[i + 1] < 0:
+            cands.append(brentq(dLL, grid[i], grid[i + 1]))
+    lls = [LL(c) for c in cands]
+    best = cands[int(np.argmax(lls))]
+    delta = np.exp(best)
+    vg = np.sum(etasq / (w + delta)) / (n - q)
+    return dict(delta=delta, vg=vg, ve=vg * delta, ll=max(lls))
+
+
+@pytest.mark.parametrize("vg,ve", [(1.0, 1.0), (2.0, 0.3), (0.1, 2.0)])
+def test_remle_matches_reference_transcription(vg, ve):
+    rng = np.random.default_rng(42)
+    K = make_kinship(rng, 60)
+    y = simulate_phenotype(rng, K, vg, ve)
+    y = y - y.mean()
+    ref = reference_remle(y, K)
+    got = emma.remle(y, K)
+    assert np.isclose(float(got.delta), ref["delta"], rtol=1e-3)
+    assert np.isclose(float(got.vg), ref["vg"], rtol=1e-3)
+    assert np.isclose(float(got.ve), ref["ve"], rtol=1e-3)
+    assert np.isclose(float(got.reml_ll), ref["ll"], rtol=1e-5)
+
+
+def test_remle_recovers_simulated_heritability():
+    rng = np.random.default_rng(0)
+    K = make_kinship(rng, 150)
+    # average over replicates for a statistical check
+    h2s = []
+    for rep in range(5):
+        y = simulate_phenotype(np.random.default_rng(rep), K, 2.0, 1.0)
+        res = emma.remle(y - y.mean(), K)
+        h2s.append(float(emma.heritability(res)))
+    assert 0.3 < np.mean(h2s) < 0.95
+
+
+def test_psd_check():
+    rng = np.random.default_rng(1)
+    K = make_kinship(rng, 30)
+    assert emma.is_positive_semi_definite(K)
+    bad = K.copy()
+    bad[0, 1] = bad[1, 0] = 5.0
+    assert not emma.is_positive_semi_definite(bad)
+
+
+def test_mvnpermute_preserves_moments():
+    rng = np.random.default_rng(2)
+    n = 40
+    K = make_kinship(rng, n)
+    V = 1.5 * K + 0.5 * np.eye(n)
+    y = simulate_phenotype(rng, K, 1.5, 0.5)
+    perms = np.asarray(mvnpermute(jax.random.PRNGKey(0), jnp.asarray(y),
+                                  jnp.ones((n, 1)), jnp.asarray(V), 50))
+    assert perms.shape == (n, 50)
+    # invariant of the algorithm: whitened residuals of every replicate are a
+    # permutation (same multiset) of the original whitened residuals
+    Vinv = np.linalg.inv(V)
+    b_orig = (np.ones(n) @ Vinv @ y) / (np.ones(n) @ Vinv @ np.ones(n))
+    fix = np.ones(n) * b_orig
+    L = np.linalg.cholesky(V)
+    z = np.sort(np.linalg.solve(L, y - fix))
+    for r in range(perms.shape[1]):
+        zr = np.sort(np.linalg.solve(L, perms[:, r] - fix))
+        np.testing.assert_allclose(zr, z, rtol=1e-6, atol=1e-8)
+    # and the replicates are not all identical
+    assert np.std(perms, axis=1).max() > 0.1
+
+
+def test_lmm_null_variant_gives_uniform_ish_pvalues():
+    rng = np.random.default_rng(3)
+    n = 80
+    K = make_kinship(rng, n)
+    y = simulate_phenotype(rng, K, 1.0, 1.0)
+    w, U = np.linalg.eigh(K)
+    genos = rng.integers(0, 2, size=(200, n)).astype(np.float64)
+    res = lmm.lmm_scan(jnp.asarray(genos), jnp.asarray(y),
+                       jnp.asarray(w), jnp.asarray(U))
+    p = np.asarray(res.p_lrt)
+    assert np.all((p >= 0) & (p <= 1))
+    # null variants: roughly uniform p-values
+    assert 0.2 < np.mean(p < 0.5) < 0.8
+
+
+def test_lmm_detects_causal_variant():
+    rng = np.random.default_rng(4)
+    n = 100
+    K = make_kinship(rng, n)
+    causal = rng.integers(0, 2, size=n).astype(np.float64)
+    y = simulate_phenotype(rng, K, 0.5, 0.5) + 2.0 * causal
+    w, U = np.linalg.eigh(K)
+    genos = np.concatenate([causal[None, :],
+                            rng.integers(0, 2, size=(50, n)).astype(np.float64)])
+    res = lmm.lmm_scan(jnp.asarray(genos), jnp.asarray(y - y.mean()),
+                       jnp.asarray(w), jnp.asarray(U))
+    p = np.asarray(res.p_lrt)
+    assert p[0] < 1e-6
+    assert p[0] < p[1:].min() * 1e-2
+    assert abs(float(res.beta[0]) - 2.0) < 0.5
+
+
+def test_lmm_matches_ols_when_no_relatedness():
+    """With K = I the LMM LRT must agree with the plain linear-model LRT."""
+    from scipy.stats import chi2
+    rng = np.random.default_rng(5)
+    n = 120
+    y = rng.normal(size=n)
+    x = rng.integers(0, 2, size=n).astype(np.float64)
+    K = np.eye(n)
+    w, U = np.linalg.eigh(K)
+    res = lmm.lmm_scan(jnp.asarray(x[None, :]), jnp.asarray(y),
+                       jnp.asarray(w), jnp.asarray(U))
+    # OLS LRT: n log(RSS0/RSS1)
+    X0 = np.ones((n, 1))
+    X1 = np.stack([np.ones(n), x], axis=1)
+    r0 = y - X0 @ np.linalg.lstsq(X0, y, rcond=None)[0]
+    r1 = y - X1 @ np.linalg.lstsq(X1, y, rcond=None)[0]
+    lrt = n * np.log(np.sum(r0**2) / np.sum(r1**2))
+    p_expect = chi2.sf(lrt, 1)
+    assert np.isclose(float(res.p_lrt[0]), p_expect, rtol=1e-3, atol=1e-8)
+
+
+def test_chi2_sf_df1():
+    from scipy.stats import chi2
+    x = np.array([0.1, 1.0, 5.0, 20.0, 50.0])
+    got = np.asarray(lmm.chi2_sf_df1(jnp.asarray(x)))
+    np.testing.assert_allclose(got, chi2.sf(x, 1), rtol=1e-5)
+
+
+def test_transform_and_permute_end_to_end():
+    rng = np.random.default_rng(6)
+    n = 50
+    K = make_kinship(rng, n)
+    y = simulate_phenotype(rng, K, 1.0, 0.5) + 10.0
+    res = transform.transform_and_permute(y, K, n_permutations=20, seed=1)
+    assert res.phenotypes.shape == (n, 21)
+    assert res.transformed.shape == (n, 21)
+    assert res.names[0] == "phenotype_value" and res.names[-1] == "P20"
+    # column 0 is the centered phenotype
+    np.testing.assert_allclose(res.phenotypes[:, 0], y - y.mean(), atol=1e-9)
+    # transformed = V^-1 @ pheno
+    V = res.vg * K + res.ve * np.eye(n)
+    np.testing.assert_allclose(res.transformed, np.linalg.solve(V, res.phenotypes),
+                               rtol=1e-6, atol=1e-9)
+    assert 0.0 < res.heritability < 1.0
+
+
+def test_permutation_threshold_order_statistic():
+    best = {f"P{i}": float(i) for i in range(1, 101)}
+    # sorted desc: 100, 99, ... threshold 5% -> index int(100*0.05)-1 = 4 -> 96
+    assert transform.permutation_threshold(best, 100, 0.05) == 96.0
+    assert transform.permutation_threshold(best, 100, 0.10) == 91.0
