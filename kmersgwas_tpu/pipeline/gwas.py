@@ -1,0 +1,202 @@
+"""End-to-end k-mer GWAS pipeline (kmers_gwas.py equivalent, single process).
+
+Stages, mirroring the reference orchestration (/root/reference/kmers_gwas.py:50-274)
+with the external R/GEMMA processes replaced by in-framework JAX stages:
+
+  1. phenotype load + per-accession averaging        (average_phenotypes.awk)
+  2. intersect phenotype x kinship x table accessions (align_kinship_phenotype.py)
+  3. REML variance components, covariance-preserving permutations,
+     GRAMMAR transform                                (transform_and_permute_phenotypes.R)
+  4. device association scan, top-k per column        (associate_kmers)
+  5. exact ML-LRT mixed model on the candidates       (GEMMA -lmm 2 farm)
+  6. permutation thresholds + pass_threshold files    (functions.py awk post-processing)
+
+Artifacts are written with reference-compatible names under `outdir` so
+downstream tooling built for the original can consume them.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..core import codec, formats
+from ..stats import lmm as lmm_mod
+from ..stats import transform as transform_mod
+from . import kinship as kinship_mod
+from . import scan as scan_mod
+from .align import average_phenotypes, intersect_accessions
+
+
+@dataclass
+class GWASConfig:
+    pheno_path: str
+    kmers_table: str
+    outdir: str
+    kmer_len: int
+    n_kmers: int = 10001
+    n_permutations: int = 100
+    maf: float = 0.05
+    mac: int = 5
+    min_data_points: int = 30
+    batch_size: int = 2_000_000
+    pattern_counter: bool = False
+    kinship_maf: float = 0.05
+    kinship_path: str | None = None     # precomputed kinship (else from table)
+    seed: int = 0
+    use_pallas: bool = False
+    lmm_grid: int = 64
+    lmm_refine: int = 40
+
+
+@dataclass
+class GWASResult:
+    thresholds: dict                    # {"5per": x, "10per": y} in -log10(p)
+    best_pvals: dict                    # column name -> -log10(best p)
+    pass_5per: list = field(default_factory=list)   # (kmer_str, p) passing 5%
+    pass_10per: list = field(default_factory=list)
+    heritability: float = 0.0
+    n_tested: int = 0
+
+
+def run_gwas(cfg: GWASConfig) -> GWASResult:
+    out = Path(cfg.outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    log_lines = []
+
+    def log(msg):
+        log_lines.append(str(msg))
+
+    # 1. phenotype: load + average duplicate accessions
+    pheno = formats.read_phenotypes(cfg.pheno_path)
+    accs, vals = average_phenotypes(pheno.accessions, pheno.values[:, 0])
+    table_names = formats.read_names(cfg.kmers_table)
+
+    # 2. kinship + intersection
+    if cfg.kinship_path:
+        K_full = kinship_mod.read_kinship(cfg.kinship_path)
+        kin_names = table_names
+    elif os.path.exists(cfg.kmers_table + ".kinship"):
+        K_full = kinship_mod.read_kinship(cfg.kmers_table + ".kinship")
+        kin_names = table_names
+    else:
+        log("computing kinship from k-mers table")
+        K_full = kinship_mod.kinship_from_table(cfg.kmers_table, maf=cfg.kinship_maf)
+        kin_names = table_names
+        kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
+
+    used, y, K = intersect_accessions(accs, vals, kin_names, K_full, table_names)
+    n = len(used)
+    if n < cfg.min_data_points:
+        (out / "NOT_ENOUGH_DATA").touch()
+        raise ValueError(f"only {n} phenotyped accessions (< {cfg.min_data_points})")
+    np.savetxt(out / "pheno.kinship", K, delimiter="\t")
+    formats.write_phenotypes(out / "pheno.phenotypes", formats.PhenotypeTable(
+        names=["phenotype_value"], accessions=used, values=y[:, None]))
+
+    # 3. transform + permutations
+    tr = transform_mod.transform_and_permute(y, K, cfg.n_permutations, seed=cfg.seed)
+    log(f"EMMA vg={tr.vg} ve={tr.ve} herit={tr.heritability}")
+    formats.write_phenotypes(out / "pheno.phenotypes_and_permutations",
+                             formats.PhenotypeTable(tr.names, used, tr.phenotypes))
+    formats.write_phenotypes(out / "pheno.phenotypes_permuted_transformed",
+                             formats.PhenotypeTable(tr.names, used, tr.transformed))
+
+    # 4. association scan -> top-k per column
+    kmers_dir = out / "kmers"
+    kmers_dir.mkdir(exist_ok=True)
+    result = scan_mod.associate(
+        cfg.kmers_table, used, tr.transformed, tr.names,
+        kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
+        batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
+        use_pallas=cfg.use_pallas)
+    (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
+    if result.n_patterns is not None:
+        (kmers_dir / "pheno.pattern_counter").write_text(f"{result.n_patterns}\n")
+
+    # 5. exact LMM on candidates, per phenotype column
+    w_eig, U_eig = np.linalg.eigh(K)
+    min_count = scan_mod.effective_min_count(n, cfg.maf, cfg.mac)
+    output_dir = kmers_dir / "output"
+    output_dir.mkdir(exist_ok=True)
+    best_pvals = {}
+    first_assoc = None
+    for j, cname in enumerate(tr.names):
+        rows = result.rows[j]
+        genos = np.stack([_pa_bits(result.pa_rows[int(r)], n) for r in rows]) \
+            if len(rows) else np.zeros((0, n))
+        yj = tr.phenotypes[:, j]           # UNtransformed column (kmers_gwas.py:152-160)
+        if len(rows):
+            res = lmm_mod.lmm_scan(genos, yj - yj.mean(), w_eig, U_eig,
+                                   n_grid=cfg.lmm_grid, n_refine=cfg.lmm_refine)
+            pvals = np.asarray(res.p_lrt, dtype=np.float64)
+            lam = np.asarray(res.log10_lambda, dtype=np.float64)
+            beta = np.asarray(res.beta, dtype=np.float64)
+        else:
+            pvals = np.empty(0)
+            lam = beta = np.empty(0)
+        _write_assoc_txt(output_dir / f"{cname}.assoc.txt", result, j,
+                         cfg.kmer_len, n, pvals, lam, beta)
+        best = float(pvals.min()) if len(pvals) else 1.0
+        best_pvals[cname] = -math.log10(max(best, 1e-300))
+        if j == 0:
+            first_assoc = (result.kmers[j], pvals)
+
+    # 6. permutation thresholds + pass files
+    th5 = transform_mod.permutation_threshold(best_pvals, cfg.n_permutations, 0.05) \
+        if cfg.n_permutations else float("inf")
+    th10 = transform_mod.permutation_threshold(best_pvals, cfg.n_permutations, 0.10) \
+        if cfg.n_permutations else float("inf")
+    (kmers_dir / "threshold_5per").write_text(f"{th5:f}\n")
+    (kmers_dir / "threshold_10per").write_text(f"{th10:f}\n")
+    with open(kmers_dir / "best_pvals", "w") as f:
+        for name, v in best_pvals.items():
+            f.write(f"{name}\t{v}\n")
+
+    pass5, pass10 = [], []
+    if first_assoc is not None and len(first_assoc[1]):
+        kk, pp = first_assoc
+        strs = codec.decode_kmers(kk, cfg.kmer_len)
+        for s, p in zip(strs, pp):
+            mlp = -math.log10(max(p, 1e-300))
+            if mlp > th5:
+                pass5.append((s, float(p)))
+            if mlp > th10:
+                pass10.append((s, float(p)))
+    for fname, rows_ in (("pass_threshold_5per", pass5), ("pass_threshold_10per", pass10)):
+        with open(kmers_dir / fname, "w") as f:
+            for s, p in rows_:
+                f.write(f"{s}\t{p:.6e}\n")
+
+    (out / "log_file").write_text("\n".join(log_lines) + "\n")
+    (out / "summary.json").write_text(json.dumps({
+        "n_accessions": n, "heritability": tr.heritability,
+        "threshold_5per": th5, "threshold_10per": th10,
+        "n_tested": result.n_tested,
+        "n_pass_5per": len(pass5), "n_pass_10per": len(pass10)}, indent=2))
+    return GWASResult(thresholds={"5per": th5, "10per": th10},
+                      best_pvals=best_pvals, pass_5per=pass5, pass_10per=pass10,
+                      heritability=tr.heritability, n_tested=result.n_tested)
+
+
+def _pa_bits(pa_words: np.ndarray, n: int) -> np.ndarray:
+    bits = np.unpackbits(pa_words.view(np.uint8), bitorder="little")
+    return bits[:n].astype(np.float64)
+
+
+def _write_assoc_txt(path, result, j, kmer_len, n, pvals, lam, beta):
+    """GEMMA-compatible assoc.txt: 9 columns, p_lrt in column 9 — the layout
+    the reference's awk post-processing consumes (functions.py:93-105)."""
+    kk = result.kmers[j]
+    strs = codec.decode_kmers(kk, kmer_len) if len(kk) else []
+    with open(path, "w") as f:
+        f.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\tl_mle\tp_lrt\n")
+        for i, s in enumerate(strs):
+            af = float(result.pa_rows[int(result.rows[j][i])].size and
+                       _pa_bits(result.pa_rows[int(result.rows[j][i])], n).mean())
+            f.write(f"0\t{s}_{i+1}\t0\t0\t1\t0\t{af:.6f}\t"
+                    f"{10**lam[i]:.6e}\t{pvals[i]:.6e}\n")

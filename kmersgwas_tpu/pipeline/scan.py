@@ -1,0 +1,180 @@
+"""Association scan driver: stream the k-mers table through the device.
+
+End-to-end equivalent of the `associate_kmers` binary (src/associate_kmers.cpp):
+
+  PASS 1 (reference): batch-load table -> thread pool scores each phenotype
+          column -> per-phenotype CPU heaps.
+  HERE:   batch-load table -> one (R,N)x(N,P) MXU GEMM scores ALL phenotype
+          columns -> device-resident streaming top-k (ops/topk.py).
+
+  PASS 2 (reference): re-stream the whole table to export winners' rows.
+  HERE:   winners' absolute row indices are known, so their rows are fetched
+          by random access into the memory-mapped .table — no second pass.
+
+Winner naming matches the reference bim convention: `<kmer>_<rank>` where
+rank 1 = best score (best_associations_heap.cpp:110-127 pops ascending and
+labels with the remaining heap size), and bed rows are written in table-row
+order like the reference's sequential pass 2.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import codec, formats
+from ..core.table import KmersTableReader
+from ..ops import score as score_ops
+from ..ops import topk as topk_ops
+
+
+@dataclass
+class ScanResult:
+    names: list                     # phenotype column names
+    scores: list                    # per phenotype: (K,) float64 descending
+    rows: list                      # per phenotype: (K,) int64 table rows
+    kmers: list                     # per phenotype: (K,) uint64 codes
+    n_tested: int                   # MAC-passing k-mers scored
+    n_patterns: int | None = None   # unique presence/absence patterns
+    pa_rows: dict = field(default_factory=dict)  # row -> packed uint64 PA (used cols)
+
+
+def effective_min_count(n_accessions: int, maf: float, mac: int) -> int:
+    """max(mac, ceil(maf * n)) — associate_kmers.cpp:98-102."""
+    return max(int(mac), math.ceil(n_accessions * maf))
+
+
+class _PatternCounter:
+    """Streaming distinct-pattern counter (pattern hash per row, merged sets),
+    equivalent of update_presence_absence_pattern_counter
+    (kmers_multiple_databases.cpp:377-380)."""
+
+    def __init__(self):
+        self._seen = np.empty(0, dtype=np.uint64)
+
+    def add(self, packed_u32: np.ndarray) -> None:
+        w64 = np.ascontiguousarray(packed_u32).view("<u8")
+        h = np.unique(codec.pattern_hash(w64))
+        self._seen = np.union1d(self._seen, h)
+
+    @property
+    def count(self) -> int:
+        return len(self._seen)
+
+
+def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
+              pheno_names, *, kmer_len: int, n_top: int = 10001,
+              maf: float = 0.05, mac: int = 5, batch_size: int = 2_000_000,
+              first_phenotype_top: int | None = None,
+              count_patterns: bool = False, use_pallas: bool = False,
+              progress=None) -> ScanResult:
+    """Scan the full table; returns per-phenotype top-k with k-mer codes.
+
+    pheno_values: (n_accessions, P) TRANSFORMED phenotype columns.
+    first_phenotype_top: like --first_phenotype_best, a larger k for column 0.
+    """
+    reader = KmersTableReader(table_base, names_to_use=pheno_accessions)
+    n_used = reader.n_used
+    min_count = effective_min_count(n_used, maf, mac)
+    n_pad = reader.w32 * 32
+    p = pheno_values.shape[1]
+    k_eff = max(n_top, first_phenotype_top or 0)
+
+    yp, ysum = score_ops.prepare_phenotypes(np.asarray(pheno_values, np.float32), n_pad)
+    state = topk_ops.init_state(p, k_eff)
+    patterns = _PatternCounter() if count_patterns else None
+
+    score_fn = score_ops.score_batch_pallas if use_pallas else score_ops.score_batch
+    n_tested = 0
+    neg_inf = jnp.float32(-jnp.inf)
+
+    for batch in reader.iter_batches(batch_size, min_count):
+        r = batch.n_rows
+        n_tested += r
+        if patterns is not None:
+            patterns.add(batch.packed)
+        # pad to the full batch size so jit caches one program shape
+        pad_to = batch_size if r != batch_size else r
+        if use_pallas:
+            pad_to = ((pad_to + 511) // 512) * 512
+        packed = np.zeros((pad_to, reader.w32), np.uint32)
+        packed[:r] = batch.packed
+        popcnt = np.zeros(pad_to, np.float32)
+        popcnt[:r] = batch.popcnt
+        rows = np.zeros(pad_to, np.int64)
+        rows[:r] = batch.row_index
+        lo, hi = topk_ops.encode_rows(rows)
+
+        scores = score_fn(jnp.asarray(packed), jnp.asarray(popcnt), yp, ysum,
+                          n_used=n_used, min_count=min_count)
+        valid = (jnp.arange(pad_to) < r)[:, None]
+        scores = jnp.where(valid, scores, neg_inf)
+        state = topk_ops.update(state, scores, jnp.asarray(lo), jnp.asarray(hi))
+        if progress is not None:
+            progress(r)
+
+    per_pheno = topk_ops.finalize(state)
+
+    # resolve winner rows -> k-mer codes + packed PA (random access, pass 2)
+    all_rows = np.unique(np.concatenate([rw for _, rw in per_pheno])
+                         ) if per_pheno and any(len(rw) for _, rw in per_pheno) else np.empty(0, np.int64)
+    kmer_of_row, pa_of_row = fetch_rows(reader, all_rows)
+
+    names = list(pheno_names)
+    scores_out, rows_out, kmers_out = [], [], []
+    for j, (sc, rw) in enumerate(per_pheno):
+        cap = first_phenotype_top if (j == 0 and first_phenotype_top) else n_top
+        sc, rw = sc[:cap], rw[:cap]
+        scores_out.append(sc)
+        rows_out.append(rw)
+        kmers_out.append(np.array([kmer_of_row[r] for r in rw], dtype=np.uint64))
+
+    return ScanResult(names=names, scores=scores_out, rows=rows_out,
+                      kmers=kmers_out, n_tested=n_tested,
+                      n_patterns=(patterns.count if patterns else None),
+                      pa_rows=pa_of_row)
+
+
+def fetch_rows(reader: KmersTableReader, rows: np.ndarray):
+    """Random-access fetch of table rows -> ({row: kmer}, {row: packed PA}).
+
+    PA is returned as squeezed used-column uint64 words (ceil(n_used/64)),
+    ready for PLINK export.
+    """
+    if len(rows) == 0:
+        return {}, {}
+    wf = reader.header.row_words()
+    mm = np.memmap(reader.base + ".table", dtype="<u8", mode="r",
+                   offset=formats.TableHeader.HEADER_BYTES)
+    raw = mm.reshape(-1, 1 + wf)[rows]
+    bits = reader.squeeze_bits(raw)
+    n64 = (reader.n_used + 63) // 64
+    padded = np.zeros((len(rows), n64 * 64), dtype=np.uint8)
+    padded[:, : reader.n_used] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    kmer_of_row = {int(r): int(k) for r, k in zip(rows, raw[:, 0])}
+    pa_of_row = {int(r): pa[i] for i, r in enumerate(rows)}
+    return kmer_of_row, pa_of_row
+
+
+def export_plink(result: ScanResult, reader_n_used: int, kmer_len: int,
+                 base_names: list) -> None:
+    """Write per-phenotype bed/bim winner exports, reference-compatible:
+    rows in table order, names `<kmer>_<rank>` with rank 1 = best."""
+    for j, base in enumerate(base_names):
+        rows = result.rows[j]
+        scores = result.scores[j]
+        # rank by descending score (stable), 1-based
+        rank = np.empty(len(rows), dtype=np.int64)
+        rank[np.argsort(-scores, kind="stable")] = np.arange(1, len(rows) + 1)
+        order = np.argsort(rows, kind="stable")       # table-row output order
+        with formats.BedBimWriter(base) as w:
+            for idx in order:
+                r = int(rows[idx])
+                kstr = codec.decode_kmers(np.array([result.kmers[j][idx]],
+                                                   dtype=np.uint64), kmer_len)[0]
+                w.write_variants([f"{kstr}_{rank[idx]}"],
+                                 result.pa_rows[r][None, :], reader_n_used)

@@ -1,0 +1,199 @@
+"""Integration tests: scan driver vs brute force, kinship driver, full GWAS."""
+import numpy as np
+import pytest
+
+from kmersgwas_tpu.core import codec, formats
+from kmersgwas_tpu.core.table import KmersTableReader
+from kmersgwas_tpu.ingest import tablebuild, union
+from kmersgwas_tpu.pipeline import kinship as kinship_mod
+from kmersgwas_tpu.pipeline import scan as scan_mod
+from kmersgwas_tpu.pipeline.align import average_phenotypes, intersect_accessions
+from kmersgwas_tpu.pipeline.gwas import GWASConfig, run_gwas
+
+K = 15
+
+
+def build_population(tmp_path, n_samples=24, n_kmers=600, seed=11,
+                     causal_effect=0.0):
+    """Synthetic population with per-sample strand lists, master list, table,
+    a phenotype and (optionally) one causal k-mer."""
+    rng = np.random.default_rng(seed)
+    pool = np.unique(codec.canonize(
+        rng.integers(0, 1 << (2 * K), size=n_kmers * 2, dtype=np.uint64), K))
+    presence = rng.random((len(pool), n_samples)) < rng.uniform(0.15, 0.85, size=(len(pool), 1))
+    causal_idx = len(pool) // 2
+    # give the causal k-mer a balanced pattern
+    presence[causal_idx] = rng.random(n_samples) < 0.5
+
+    paths = []
+    for s in range(n_samples):
+        kk = pool[presence[:, s]]
+        ff = rng.integers(1, 4, size=len(kk)).astype(np.uint64)
+        p = tmp_path / f"s{s}.kmers"
+        formats.write_strand_kmer_list(p, kk, ff)
+        paths.append(p)
+    master = tmp_path / "master.kmers"
+    union.build_master_list(paths, master, K, mac=1, min_strand_frac=0.0)
+    names = [f"acc{s:03d}" for s in range(n_samples)]
+    base = str(tmp_path / "pop")
+    tablebuild.build_table(paths, names, master, base, K)
+
+    g_causal = presence[causal_idx].astype(np.float64)
+    y = rng.normal(size=n_samples) + causal_effect * g_causal
+    pheno_path = tmp_path / "pheno.tsv"
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=["phenotype_value"], accessions=names, values=y[:, None]))
+    return dict(base=base, names=names, y=y, pool=pool, presence=presence,
+                causal=pool[causal_idx], causal_idx=causal_idx,
+                pheno_path=pheno_path)
+
+
+def brute_force_scores(pop, y_cols, min_count):
+    """Direct reference-formula scores over ALL table rows."""
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    n = hdr.n_accessions
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((pa[:, :, None] >> shifts) & np.uint64(1)).reshape(len(kmers), -1)[:, :n]
+    n1 = bits.sum(axis=1).astype(np.float64)
+    keep = (n1 >= min_count) & (n1 <= n - min_count)
+    out = {}
+    for j in range(y_cols.shape[1]):
+        yj = y_cols[:, j]
+        yigi = bits @ yj
+        r = n * yigi - n1 * yj.sum()
+        denom = n * n1 - n1**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, r * r / denom, 0.0)
+        out[j] = np.where(keep, s, np.nan)
+    return kmers, out, keep
+
+
+def test_scan_matches_brute_force(tmp_path):
+    pop = build_population(tmp_path)
+    n = len(pop["names"])
+    rng = np.random.default_rng(1)
+    y_cols = rng.normal(size=(n, 4))
+    res = scan_mod.associate(pop["base"], pop["names"], y_cols,
+                             [f"c{j}" for j in range(4)],
+                             kmer_len=K, n_top=25, maf=0.05, mac=2,
+                             batch_size=97)
+    min_count = scan_mod.effective_min_count(n, 0.05, 2)
+    kmers, ref_scores, keep = brute_force_scores(pop, y_cols, min_count)
+    assert res.n_tested == int(keep.sum())
+    for j in range(4):
+        sc = ref_scores[j][keep]
+        kk = kmers[keep]
+        order = np.argsort(-sc, kind="stable")[:25]
+        expect = dict(zip(kk[order].tolist(), sc[order].tolist()))
+        got = dict(zip(res.kmers[j].tolist(), res.scores[j].tolist()))
+        assert set(got) == set(expect)
+        for kmer, s in expect.items():
+            assert np.isclose(got[kmer], s, rtol=1e-4), (j, kmer)
+
+
+def test_scan_pattern_counter(tmp_path):
+    pop = build_population(tmp_path, n_samples=10, n_kmers=120)
+    n = len(pop["names"])
+    y = np.random.default_rng(0).normal(size=(n, 1))
+    res = scan_mod.associate(pop["base"], pop["names"], y, ["p"], kmer_len=K,
+                             n_top=10, maf=0.0, mac=1, batch_size=50,
+                             count_patterns=True)
+    # expected: distinct presence patterns among MAC-passing rows
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((pa[:, :, None] >> shifts) & np.uint64(1)).reshape(len(kmers), -1)[:, :n]
+    n1 = bits.sum(axis=1)
+    keep = (n1 >= 1) & (n1 <= n - 1)
+    uniq = len(set(map(tuple, bits[keep].tolist())))
+    assert res.n_patterns == uniq
+
+
+def test_kinship_driver_matches_brute_force(tmp_path):
+    pop = build_population(tmp_path, n_samples=16, n_kmers=200)
+    Kmat = kinship_mod.kinship_from_table(pop["base"], maf=0.1, batch_size=64)
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    n = hdr.n_accessions
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((pa[:, :, None] >> shifts) & np.uint64(1)).reshape(len(kmers), -1)[:, :n]
+    n1 = bits.sum(axis=1)
+    import math
+    mc = math.ceil(n * 0.1)
+    keep = (n1 >= mc) & (n1 <= n - mc)
+    g = bits[keep].astype(np.int64)
+    expect = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            expect[i, j] = np.mean(1 ^ g[:, i] ^ g[:, j])
+    np.fill_diagonal(expect, 1.0)
+    np.testing.assert_allclose(Kmat, expect, atol=1e-12)
+    # round-trip through the TSV writer
+    kinship_mod.write_kinship(tmp_path / "k.tsv", Kmat)
+    back = kinship_mod.read_kinship(tmp_path / "k.tsv")
+    np.testing.assert_allclose(back, Kmat, atol=1e-12)
+
+
+def test_plink_export_roundtrip(tmp_path):
+    pop = build_population(tmp_path, n_samples=9, n_kmers=100)
+    n = len(pop["names"])
+    y = np.random.default_rng(3).normal(size=(n, 1))
+    res = scan_mod.associate(pop["base"], pop["names"], y, ["p"], kmer_len=K,
+                             n_top=12, maf=0.0, mac=1, batch_size=1000)
+    base = str(tmp_path / "winners")
+    scan_mod.export_plink(res, n, K, [base])
+    formats.write_fam(base + ".fam", pop["names"], y[:, 0])
+    names, dubits = formats.read_bed(base)
+    bim = [ln.split("\t") for ln in open(base + ".bim").read().splitlines()]
+    assert len(bim) == len(res.kmers[0])
+    # rows in table order; each genotype row reproduces the table's pattern
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    kmer_by_row = dict(zip(range(len(kmers)), kmers))
+    rows_sorted = np.sort(res.rows[0])
+    for i, (line, r) in enumerate(zip(bim, rows_sorted)):
+        kstr, rank = line[1].rsplit("_", 1)
+        assert codec.encode_kmers([kstr])[0] == kmer_by_row[int(r)]
+        shifts = np.arange(64, dtype=np.uint64)
+        expect_bits = ((pa[int(r), :, None] >> shifts) & np.uint64(1)).reshape(-1)[:n]
+        assert np.array_equal((dubits[i] == 3).astype(np.uint64), expect_bits)
+    # ranks 1..12 each appear exactly once, rank 1 = max score
+    ranks = sorted(int(l[1].rsplit("_", 1)[1]) for l in bim)
+    assert ranks == list(range(1, len(bim) + 1))
+
+
+def test_align_helpers():
+    accs = ["a", "b", "a", "c"]
+    vals = [1.0, 2.0, 3.0, 4.0]
+    u_accs, u_vals = average_phenotypes(accs, vals)
+    assert u_accs == ["a", "b", "c"]
+    np.testing.assert_allclose(u_vals, [2.0, 2.0, 4.0])
+
+    kin_names = ["c", "a", "x", "b"]
+    Kf = np.arange(16, dtype=np.float64).reshape(4, 4)
+    used, y, Ksub = intersect_accessions(u_accs, u_vals, kin_names, Kf,
+                                         ["a", "b", "c", "zzz"])
+    assert used == ["a", "b", "c"]
+    np.testing.assert_allclose(Ksub, Kf[np.ix_([1, 3, 0], [1, 3, 0])])
+
+
+@pytest.mark.slow
+def test_full_gwas_finds_causal_kmer(tmp_path):
+    pop = build_population(tmp_path, n_samples=60, n_kmers=500, seed=5,
+                           causal_effect=3.0)
+    cfg = GWASConfig(pheno_path=str(pop["pheno_path"]),
+                     kmers_table=pop["base"], outdir=str(tmp_path / "out"),
+                     kmer_len=K, n_kmers=30, n_permutations=20,
+                     maf=0.05, mac=2, batch_size=500, min_data_points=10,
+                     lmm_grid=32, lmm_refine=25)
+    res = run_gwas(cfg)
+    assert res.n_tested > 0
+    causal_str = codec.decode_kmers(np.array([pop["causal"]], np.uint64), K)[0]
+    # the causal k-mer must clear the 5% permutation threshold
+    assert any(s == causal_str for s, _ in res.pass_5per), (
+        causal_str, res.pass_5per[:5], res.thresholds)
+    # and its p-value should be the best among the passers
+    best = min(res.pass_5per, key=lambda t: t[1])
+    assert best[0] == causal_str
+    # artifacts exist
+    out = tmp_path / "out"
+    for f in ["kmers/threshold_5per", "kmers/best_pvals", "summary.json",
+              "pheno.phenotypes_permuted_transformed", "kmers/pheno.tested_kmers"]:
+        assert (out / f).exists(), f
