@@ -1,0 +1,73 @@
+"""Association-scan throughput benchmark (real chip).
+
+Metric: k-mers/second scored through the full scan step — packed bit-plane
+score GEMM over 101 phenotype columns (1 real + 100 permutations, the
+reference's default shape, pipeline_parser.py:35-44) at N=1008 samples (the
+1001G A. thaliana panel), plus the per-column top-k merge.
+
+vs_baseline: the reference C++ SSE4.1 kernel (kmers_multiple_databases.cpp:
+327-363) does ~256 4-wide SSE masked-accumulate ops per k-mer per phenotype
+at N_pad=1024 (~130 ns/kmer/phenotype on a ~3 GHz core). On the 32-core
+server of BASELINE.md that bounds the scan at ~2.4M k-mers/s with perfect
+scaling and free I/O; we use 2.5e6 k-mers/s as the baseline denominator.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_KMERS_PER_SEC = 2.5e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from kmersgwas_tpu.ops import score as score_ops
+    from kmersgwas_tpu.ops import topk as topk_ops
+
+    n_used, n_pad, p, k = 1008, 1024, 101, 10001
+    rows = 1 << 21          # 2M k-mers per device step
+    min_count = 51
+    w32 = n_pad // 32
+
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 1 << 32, size=(rows, w32), dtype=np.uint64).astype(np.uint32)
+    popcnt = np.asarray(
+        jax.device_get(jnp.sum(jax.lax.population_count(jnp.asarray(packed)), axis=1)),
+        dtype=np.float32)
+    y = rng.normal(size=(n_used, p)).astype(np.float32)
+    yp, ysum = score_ops.prepare_phenotypes(y, n_pad)
+    lo, hi = topk_ops.encode_rows(np.arange(rows))
+
+    packed_d = jax.device_put(packed)
+    popcnt_d = jax.device_put(popcnt)
+    lo_d, hi_d = jax.device_put(lo), jax.device_put(hi)
+
+    def step(state, packed, popcnt, lo, hi):
+        scores = score_ops.score_batch(packed, popcnt, yp, ysum,
+                                       n_used=n_used, min_count=min_count)
+        return topk_ops.update(state, scores, lo, hi)
+
+    step_j = jax.jit(step)
+    state = topk_ops.init_state(p, k)
+    state = step_j(state, packed_d, popcnt_d, lo_d, hi_d)  # compile + warm
+    jax.block_until_ready(state.scores)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step_j(state, packed_d, popcnt_d, lo_d, hi_d)
+    jax.block_until_ready(state.scores)
+    dt = time.perf_counter() - t0
+
+    kmers_per_sec = rows * iters / dt
+    print(json.dumps({
+        "metric": "assoc_scan_kmers_per_sec_per_chip",
+        "value": round(kmers_per_sec, 1),
+        "unit": "kmers/s (N=1008, P=101, top-10001)",
+        "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

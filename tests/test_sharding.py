@@ -1,0 +1,125 @@
+"""Multi-device tests on a virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kmersgwas_tpu.ops import bitplanes, score, topk
+from kmersgwas_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) platform")
+    return sharding.make_mesh()
+
+
+def _make(rng, r, n, p):
+    n_pad = ((n + 127) // 128) * 128
+    bits = rng.integers(0, 2, size=(r, n)).astype(np.uint8)
+    padded = np.zeros((r, n_pad), dtype=np.uint8)
+    padded[:, :n] = bits
+    packed = bitplanes.pack_bits_np(padded)
+    y = rng.normal(size=(n, p)).astype(np.float32)
+    return bits, packed, y, n_pad
+
+
+def test_sharded_scan_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    r, n, p, k = 4096, 50, 3, 40
+    bits, packed, y, n_pad = _make(rng, r, n, p)
+    popcnt = bits.sum(axis=1).astype(np.float32)
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    min_count = 2
+
+    # single-device reference via ops
+    state1 = topk.init_state(p, k)
+    scores = score.score_batch(jnp.asarray(packed), jnp.asarray(popcnt), yp, ysum,
+                               n_used=n, min_count=min_count)
+    scores = jnp.where(jnp.asarray(popcnt)[:, None] > 0, scores, -jnp.inf)
+    lo, hi = topk.encode_rows(np.arange(r))
+    state1 = topk.update(state1, scores, jnp.asarray(lo), jnp.asarray(hi))
+    ref = topk.finalize(state1)
+
+    # sharded step
+    step = sharding.build_sharded_scan_step(mesh, n_used=n, min_count=min_count, k=k)
+    sp, spc, slo, shi = sharding.shard_batch(mesh, [packed, popcnt, lo, hi])
+    ypr, ysr = sharding.replicate(mesh, yp, ysum)
+    state2 = topk.TopKState(*sharding.replicate(
+        mesh, *topk.init_state(p, k)))
+    state2 = step(state2, sp, spc, slo, shi, ypr, ysr)
+    got = topk.finalize(state2)
+
+    for j in range(p):
+        np.testing.assert_allclose(np.sort(got[j][0]), np.sort(ref[j][0]), rtol=1e-5)
+        assert set(got[j][1].tolist()) == set(ref[j][1].tolist())
+
+
+def test_sharded_scan_multiple_updates(mesh):
+    rng = np.random.default_rng(1)
+    n, p, k = 30, 2, 16
+    step = sharding.build_sharded_scan_step(mesh, n_used=n, min_count=1, k=k)
+    all_scores = []
+    state = topk.TopKState(*sharding.replicate(mesh, *topk.init_state(p, k)))
+    yp = ysum = None
+    for it in range(3):
+        bits, packed, y, n_pad = _make(rng, 1024, n, p)
+        if yp is None:
+            ypl, ysl = score.prepare_phenotypes(y, n_pad)
+            yp, ysum = sharding.replicate(mesh, ypl, ysl)
+            y0 = y
+        popcnt = bits.sum(axis=1).astype(np.float32)
+        rows = np.arange(it * 1024, (it + 1) * 1024)
+        lo, hi = topk.encode_rows(rows)
+        sp, spc, slo, shi = sharding.shard_batch(mesh, [packed, popcnt, lo, hi])
+        state = step(state, sp, spc, slo, shi, yp, ysum)
+        # track for brute force (scores always vs y0)
+        all_scores.append((bits, rows))
+    # brute force with y0
+    n_used = n
+    allbits = np.concatenate([b for b, _ in all_scores])
+    allrows = np.concatenate([r for _, r in all_scores])
+    n1 = allbits.sum(axis=1).astype(np.float64)
+    got = topk.finalize(state)
+    for j in range(p):
+        yj = y0[:, j].astype(np.float64)
+        yigi = allbits @ yj
+        r_ = n_used * yigi - n1 * yj.sum()
+        denom = n_used * n1 - n1**2
+        s = np.where((denom > 0) & (n1 >= 1) & (n1 <= n_used - 1), r_**2 / denom, -np.inf)
+        order = np.argsort(-s, kind="stable")[:k]
+        assert set(got[j][1].tolist()) == set(allrows[order].tolist())
+
+
+def test_sharded_kinship_matches_accumulator(mesh):
+    rng = np.random.default_rng(2)
+    r, n = 2048, 40
+    n_pad = 128
+    bits = rng.integers(0, 2, size=(r, n)).astype(np.uint8)
+    padded = np.zeros((r, n_pad), dtype=np.uint8)
+    padded[:, :n] = bits
+    packed = bitplanes.pack_bits_np(padded)
+
+    kstep = sharding.build_sharded_kinship_step(mesh)
+    acc0, = sharding.replicate(mesh, jnp.zeros((n_pad, n_pad), jnp.int32))
+    sp, = sharding.shard_batch(mesh, [packed])
+    acc = kstep(acc0, sp)
+    S = np.asarray(acc)[:n, :n]
+    xnor = (r + S) / 2.0
+    g = bits.astype(np.int64)
+    expect = np.zeros((n, n))
+    for i in range(n):
+        expect[i] = (1 ^ g[:, i][:, None] ^ g).sum(axis=0)
+    np.testing.assert_allclose(xnor, expect, atol=0)
+
+
+def test_host_range_partition_covers_space():
+    los, his = [], []
+    for h in range(8):
+        lo, hi = sharding.host_range_of_kmer_space(h, 8, 31)
+        los.append(lo)
+        his.append(hi)
+    assert los[0] == 0
+    assert all(his[i] == los[i + 1] for i in range(7))
+    assert his[-1] >= (1 << 62) - 1
