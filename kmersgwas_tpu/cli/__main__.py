@@ -1,0 +1,274 @@
+"""CLI dispatcher: `python -m kmersgwas_tpu.cli <command> [...]`."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_gwas(sub):
+    p = sub.add_parser("gwas", help="full k-mer GWAS pipeline (kmers_gwas.py)")
+    p.add_argument("--pheno", required=True)
+    p.add_argument("--kmers_table", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("-l", "--kmer_len", type=int, required=True)
+    p.add_argument("-k", "--kmers_number", type=int, default=10001)
+    p.add_argument("--permutations", type=int, default=100)
+    p.add_argument("--maf", type=float, default=0.05)
+    p.add_argument("--mac", type=int, default=5)
+    p.add_argument("--min_data_points", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=2_000_000)
+    p.add_argument("--pattern_counter", action="store_true")
+    p.add_argument("--kinship", default=None, help="precomputed kinship TSV")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pallas", action="store_true")
+
+    def run(a):
+        from ..pipeline.gwas import GWASConfig, run_gwas
+        res = run_gwas(GWASConfig(
+            pheno_path=a.pheno, kmers_table=a.kmers_table, outdir=a.outdir,
+            kmer_len=a.kmer_len, n_kmers=a.kmers_number,
+            n_permutations=a.permutations, maf=a.maf, mac=a.mac,
+            min_data_points=a.min_data_points, batch_size=a.batch_size,
+            pattern_counter=a.pattern_counter, kinship_path=a.kinship,
+            seed=a.seed, use_pallas=a.pallas))
+        print(f"threshold_5per={res.thresholds['5per']:.4f} "
+              f"pass_5per={len(res.pass_5per)} tested={res.n_tested}")
+    p.set_defaults(func=run)
+
+
+def _add_count(sub):
+    p = sub.add_parser("count", help="count k-mers from FASTQ/FASTA files")
+    p.add_argument("-k", "--kmer_len", type=int, required=True)
+    p.add_argument("-o", "--output", required=True, help="binary kmer+count output")
+    p.add_argument("--canonize", action="store_true")
+    p.add_argument("--min_count", type=int, default=1)
+    p.add_argument("reads", nargs="+")
+
+    def run(a):
+        from ..ingest import counter
+        kmers, counts = counter.count_kmers_in_files(
+            a.reads, a.kmer_len, canonize=a.canonize, min_count=a.min_count)
+        rec = np.empty(len(kmers), dtype=[("k", "<u8"), ("c", "<u8")])
+        rec["k"], rec["c"] = kmers, counts
+        rec.tofile(a.output)
+        print(f"{len(kmers)} distinct k-mers")
+    p.set_defaults(func=run)
+
+
+def _read_counts(path):
+    rec = np.fromfile(path, dtype=[("k", "<u8"), ("c", "<u8")])
+    return rec["k"].copy(), rec["c"].copy()
+
+
+def _add_strand_merge(sub):
+    p = sub.add_parser("strand-merge",
+                       help="combine canonized + non-canonized counts into a "
+                            "strand-flagged sorted list (kmers_add_strand_information)")
+    p.add_argument("-c", "--canonized", required=True)
+    p.add_argument("-n", "--non_canonized", required=True)
+    p.add_argument("-k", "--kmer_len", type=int, required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    def run(a):
+        from ..ingest import strand
+        ck, _ = _read_counts(a.canonized)
+        nk, _ = _read_counts(a.non_canonized)
+        strand.write_strand_list(a.output, ck, nk, a.kmer_len)
+        print(f"{len(ck)} k-mers written")
+    p.set_defaults(func=run)
+
+
+def _add_list_kmers(sub):
+    p = sub.add_parser("list-kmers",
+                       help="union + MAC/strand filter across samples "
+                            "(list_kmers_found_in_multiple_samples)")
+    p.add_argument("-l", "--list_kmers_files", required=True,
+                   help="file with one strand-list path (and optional name) per line")
+    p.add_argument("-k", "--kmer_len", type=int, required=True)
+    p.add_argument("--mac", type=int, required=True)
+    p.add_argument("-p", "--min_strand_percent", type=float, required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    def run(a):
+        from ..ingest import union
+        paths = [ln.split()[0] for ln in open(a.list_kmers_files)
+                 if ln.strip()]
+        n, _ = union.build_master_list(paths, a.output, a.kmer_len,
+                                       a.mac, a.min_strand_percent)
+        print(f"passed kmers:\t{n}")
+    p.set_defaults(func=run)
+
+
+def _add_build_table(sub):
+    p = sub.add_parser("build-table", help="build the k-mers table (build_kmers_table)")
+    p.add_argument("-l", "--list_kmers_files", required=True,
+                   help="file with '<path> <accession>' per line")
+    p.add_argument("-k", "--kmer_len", type=int, required=True)
+    p.add_argument("-a", "--all_kmers", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    def run(a):
+        from ..ingest import tablebuild
+        pairs = [ln.split() for ln in open(a.list_kmers_files) if ln.strip()]
+        paths = [x[0] for x in pairs]
+        names = [x[1] if len(x) > 1 else x[0] for x in pairs]
+        n = tablebuild.build_table(paths, names, a.all_kmers, a.output, a.kmer_len)
+        print(f"rows: {n}")
+    p.set_defaults(func=run)
+
+
+def _add_associate(sub):
+    p = sub.add_parser("associate", help="association scan (associate_kmers)")
+    p.add_argument("-p", "--phenotype_file", required=True)
+    p.add_argument("-b", "--base_name", required=True)
+    p.add_argument("-o", "--output_dir", default=".")
+    p.add_argument("--kmers_table", required=True)
+    p.add_argument("-n", "--best", type=int, default=10001)
+    p.add_argument("--batch_size", type=int, default=2_000_000)
+    p.add_argument("--kmer_len", type=int, required=True)
+    p.add_argument("--maf", type=float, default=0.05)
+    p.add_argument("--mac", type=int, default=5)
+    p.add_argument("--pattern_counter", action="store_true")
+    p.add_argument("--kmers_scores", action="store_true")
+    p.add_argument("--pallas", action="store_true")
+
+    def run(a):
+        from ..core import formats
+        from ..pipeline import scan
+        pheno = formats.read_phenotypes(a.phenotype_file)
+        res = scan.associate(a.kmers_table, pheno.accessions, pheno.values,
+                             pheno.names, kmer_len=a.kmer_len, n_top=a.best,
+                             maf=a.maf, mac=a.mac, batch_size=a.batch_size,
+                             count_patterns=a.pattern_counter,
+                             use_pallas=a.pallas)
+        base = f"{a.output_dir}/{a.base_name}"
+        if a.kmers_scores:
+            for j, name in enumerate(res.names):
+                formats.write_best_kmers_scores(
+                    f"{base}.{j}.best_kmers.scores", res.kmers[j], res.scores[j])
+        scan.export_plink(res, len(pheno.accessions), a.kmer_len,
+                          [f"{base}.{j}.{n}" for j, n in enumerate(res.names)])
+        for j, name in enumerate(res.names):
+            formats.write_fam(f"{base}.{j}.{name}.fam", pheno.accessions,
+                              pheno.values[:, j])
+        with open(f"{base}.tested_kmers", "w") as f:
+            f.write(f"{res.n_tested}\n")
+        if res.n_patterns is not None:
+            with open(f"{base}.pattern_counter", "w") as f:
+                f.write(f"{res.n_patterns}\n")
+        print(f"tested {res.n_tested} k-mers")
+    p.set_defaults(func=run)
+
+
+def _add_kinship(sub):
+    p = sub.add_parser("kinship", help="kinship from k-mers table (emma_kinship_kmers)")
+    p.add_argument("-t", "--kmers_table", required=True)
+    p.add_argument("-k", "--kmer_len", type=int, required=False)
+    p.add_argument("--maf", type=float, required=True)
+    p.add_argument("--batch_size", type=int, default=1 << 20)
+
+    def run(a):
+        from ..pipeline import kinship as km
+        K = km.kinship_from_table(a.kmers_table, maf=a.maf, batch_size=a.batch_size)
+        import sys as _sys
+        for row in K:
+            _sys.stdout.write("\t".join(f"{v:g}" for v in row) + "\n")
+    p.set_defaults(func=run)
+
+
+def _add_kinship_bed(sub):
+    p = sub.add_parser("kinship-bed", help="EMMA kinship from a PLINK bed (emma_kinship)")
+    p.add_argument("bedbim_base")
+
+    def run(a):
+        from ..snps.kinship import emma_kinship_from_bed
+        K = emma_kinship_from_bed(a.bedbim_base)
+        import sys as _sys
+        for row in K:
+            _sys.stdout.write("\t".join(f"{v:g}" for v in row) + "\n")
+    p.set_defaults(func=run)
+
+
+def _add_associate_snps(sub):
+    p = sub.add_parser("associate-snps",
+                       help="GRAMMAR-approximate SNP prefilter (associate_snps)")
+    p.add_argument("phenotypes_file")
+    p.add_argument("bedbim_base")
+    p.add_argument("output_base")
+    p.add_argument("n_snps", type=int)
+    p.add_argument("maf", type=float)
+    p.add_argument("mac", type=float)
+
+    def run(a):
+        from ..core import formats
+        from ..snps.assoc import associate_snps
+        pheno = formats.read_phenotypes(a.phenotypes_file)
+        associate_snps(a.bedbim_base, pheno.accessions, pheno.values,
+                       pheno.names, a.output_base, a.n_snps, a.maf, a.mac)
+    p.set_defaults(func=run)
+
+
+def _add_table_to_bed(sub):
+    p = sub.add_parser("table-to-bed", help="table -> PLINK shards (kmers_table_to_bed)")
+    p.add_argument("-t", "--kmers_table", required=True)
+    p.add_argument("-p", "--phenotype_file", required=True)
+    p.add_argument("--maf", type=float, required=True)
+    p.add_argument("--mac", type=int, required=True)
+    p.add_argument("-b", "--batch_size", type=int, required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-u", "--unique_patterns", action="store_true")
+
+    def run(a):
+        from ..pipeline.export import table_to_bed
+        n = table_to_bed(a.kmers_table, a.output, pheno_path=a.phenotype_file,
+                         maf=a.maf, mac=a.mac, batch_size=a.batch_size,
+                         unique_patterns=a.unique_patterns)
+        print(f"wrote {n} variants")
+    p.set_defaults(func=run)
+
+
+def _add_filter_kmers(sub):
+    p = sub.add_parser("filter-kmers", help="presence patterns of k-mers (filter_kmers)")
+    p.add_argument("-t", "--kmers_table", required=True)
+    p.add_argument("-k", "--kmers_file", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    def run(a):
+        from ..pipeline.export import filter_kmers_to_text
+        queries = [w for w in open(a.kmers_file).read().split() if w]
+        n = filter_kmers_to_text(a.kmers_table, queries, a.output)
+        print(f"found {n} of {len(queries)}")
+    p.set_defaults(func=run)
+
+
+def _add_histogram(sub):
+    p = sub.add_parser("histogram", help="k-mer count histogram (histogram_KMC_kmers_counts)")
+    p.add_argument("counts_file", help="binary kmer+count file from `count`")
+
+    def run(a):
+        from ..ingest.counter import counts_histogram
+        _, counts = _read_counts(a.counts_file)
+        hist = counts_histogram(counts)
+        print("appearance\tcount")
+        for i, c in enumerate(hist):
+            print(f"{i}\t{c}")
+    p.set_defaults(func=run)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kmersgwas_tpu",
+                                 description="TPU-native k-mer GWAS toolkit")
+    sub = ap.add_subparsers(dest="command", required=True)
+    for add in (_add_gwas, _add_count, _add_strand_merge, _add_list_kmers,
+                _add_build_table, _add_associate, _add_kinship,
+                _add_kinship_bed, _add_associate_snps, _add_table_to_bed,
+                _add_filter_kmers, _add_histogram):
+        add(sub)
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
