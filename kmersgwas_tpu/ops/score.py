@@ -68,6 +68,71 @@ def score_batch(packed, popcnt, y_padded, y_sum, *, n_used: int, min_count: int)
 
 
 # ---------------------------------------------------------------------------
+# Transposed fused kernel: k-mers in the lane dimension
+# ---------------------------------------------------------------------------
+#
+# The natural (R, W32) layout unpacks along lanes of width 32 — hostile to
+# the (8,128) VPU tile. Transposing once on device to (W32, R) puts the huge
+# k-mer axis in the lanes: the unpack becomes a sublane-broadcast shift and
+# the GEMM emits scores directly in (P, R) — the exact layout the blocked
+# top-k consumes, so the scan step does zero relayouts.
+
+def _score_t_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, out_ref,
+                    *, n_used: int, min_count: int):
+    w = packed_ref[...]                                   # (W32, TR) uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
+    g = bits.astype(jnp.float32).reshape(-1, w.shape[1])  # (N_pad, TR)
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    n = jnp.float32(n_used)
+    n1 = pop_ref[...]                                     # (1, TR)
+    r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= jnp.float32(min_count)) & ((n - n1) >= jnp.float32(min_count))
+    score = jnp.where(ok, score, 0.0)
+    out_ref[...] = jnp.where(n1 > 0, score, -jnp.inf)     # popcnt==0 = padding
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count", "tile_rows"))
+def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
+                         n_used: int, min_count: int, tile_rows: int = 2048):
+    """Fused kernel -> scores transposed (P, R); padding rows score -inf.
+
+    packed: (R, W32) uint32 (transposed on device), popcnt (R,) f32,
+    y_padded (N_pad, P), R % tile_rows == 0.
+    """
+    rows, w32 = packed.shape
+    n_pad, p = y_padded.shape
+    assert n_pad == w32 * 32 and rows % tile_rows == 0
+    p_pad = ((p + 7) // 8) * 8
+    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
+    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
+    packed_t = packed.T                                   # (W32, R)
+    pop2 = popcnt[None, :]                                # (1, R)
+    grid = (rows // tile_rows,)
+    out = pl.pallas_call(
+        functools.partial(_score_t_kernel, n_used=n_used, min_count=min_count),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p_pad, tile_rows), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, rows), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * n_pad * p_pad,
+            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4 + rows * p_pad * 4,
+            transcendentals=0,
+        ),
+    )(packed_t, pop2, yt, ysum)
+    return out[:p]
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,41 @@ def decode_rows(row_lo: np.ndarray, row_hi: np.ndarray) -> np.ndarray:
     return row_hi.astype(np.int64) * _ROW_SPLIT + row_lo.astype(np.int64)
 
 
+def blocked_top_k(sc: jax.Array, k: int, block: int = 16):
+    """Exact top-k over the last axis via block-max pre-reduction.
+
+    `lax.top_k` over millions of lanes dominates the scan wall-clock (a full
+    sort under the hood); this reduces it to a top-k over R/block block
+    maxima plus a top-k over k*block gathered candidates. Exactness argument
+    (incl. the stable earliest-index tie preference `lax.top_k` guarantees):
+    every element >= the k-th value lives in a block whose max >= it, and at
+    most k blocks can hold the k kept elements, so the k highest-max blocks
+    (stable, earliest-first, re-sorted to ascending index before the final
+    stable top-k) contain exactly the elements a flat stable top-k keeps.
+
+    sc: (P, R) with R % block == 0. Returns (values (P,k), indices (P,k)).
+    """
+    p, r = sc.shape
+    k = min(k, r)
+    if (r + block - 1) // block <= k:
+        return jax.lax.top_k(sc, k)
+    if r % block:
+        pad = block - r % block
+        sc = jnp.pad(sc, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        r += pad
+    nb = r // block
+    blocks = sc.reshape(p, nb, block)
+    bmax = jnp.max(blocks, axis=-1)                       # (P, nb)
+    _, bi = jax.lax.top_k(bmax, k)                        # (P, k) block ids
+    bi = jnp.sort(bi, axis=-1)                            # ascending rows
+    cand = jnp.take_along_axis(blocks, bi[:, :, None], axis=1)
+    cand = cand.reshape(p, k * block)
+    cand_idx = (bi[:, :, None] * block
+                + jnp.arange(block, dtype=bi.dtype)).reshape(p, k * block)
+    v, j = jax.lax.top_k(cand, k)
+    return v, jnp.take_along_axis(cand_idx, j, axis=1)
+
+
 @jax.jit
 def update(state: TopKState, batch_scores: jax.Array,
            row_lo: jax.Array, row_hi: jax.Array) -> TopKState:
@@ -58,7 +93,7 @@ def update(state: TopKState, batch_scores: jax.Array,
     sc = batch_scores.T                                  # (P, R)
     r = sc.shape[1]
     if r > k:
-        v, i = jax.lax.top_k(sc, k)                      # (P, K)
+        v, i = blocked_top_k(sc, k)                      # (P, K)
         blo, bhi = row_lo[i], row_hi[i]
     else:
         v, blo, bhi = sc, jnp.broadcast_to(row_lo, sc.shape), jnp.broadcast_to(row_hi, sc.shape)

@@ -59,7 +59,7 @@ def build_sharded_scan_step(mesh: Mesh, *, n_used: int, min_count: int, k: int):
         scores = _local_scores(packed, popcnt, yp, ysum, n_used, min_count)
         sc = scores.T                                     # (Pph, R_loc)
         kk = min(k, sc.shape[1])
-        v, i = jax.lax.top_k(sc, kk)
+        v, i = topk_ops.blocked_top_k(sc, kk)
         blo, bhi = lo[i], hi[i]
         # ship only candidates across ICI
         gv = jax.lax.all_gather(v, AXIS, axis=1, tiled=True)    # (Pph, D*kk)

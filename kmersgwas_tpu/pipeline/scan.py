@@ -83,23 +83,25 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     p = pheno_values.shape[1]
     k_eff = max(n_top, first_phenotype_top or 0)
 
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1 (zero-popcount marks padding)")
     yp, ysum = score_ops.prepare_phenotypes(np.asarray(pheno_values, np.float32), n_pad)
     state = topk_ops.init_state(p, k_eff)
     patterns = _PatternCounter() if count_patterns else None
 
-    score_fn = score_ops.score_batch_pallas if use_pallas else score_ops.score_batch
+    from ..ops.scanstep import scan_step
+    kernel = "pallas" if use_pallas else "xla"
     n_tested = 0
-    neg_inf = jnp.float32(-jnp.inf)
+    # fixed device shape: pad every batch to batch_size (rounded up for the
+    # pallas tile) so jit compiles exactly one program; padding rows carry
+    # popcnt == 0 and score -inf inside the step
+    pad_to = ((batch_size + 2047) // 2048) * 2048 if use_pallas else batch_size
 
     for batch in reader.iter_batches(batch_size, min_count):
         r = batch.n_rows
         n_tested += r
         if patterns is not None:
             patterns.add(batch.packed)
-        # pad to the full batch size so jit caches one program shape
-        pad_to = batch_size if r != batch_size else r
-        if use_pallas:
-            pad_to = ((pad_to + 511) // 512) * 512
         packed = np.zeros((pad_to, reader.w32), np.uint32)
         packed[:r] = batch.packed
         popcnt = np.zeros(pad_to, np.float32)
@@ -107,12 +109,9 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         rows = np.zeros(pad_to, np.int64)
         rows[:r] = batch.row_index
         lo, hi = topk_ops.encode_rows(rows)
-
-        scores = score_fn(jnp.asarray(packed), jnp.asarray(popcnt), yp, ysum,
-                          n_used=n_used, min_count=min_count)
-        valid = (jnp.arange(pad_to) < r)[:, None]
-        scores = jnp.where(valid, scores, neg_inf)
-        state = topk_ops.update(state, scores, jnp.asarray(lo), jnp.asarray(hi))
+        state = scan_step(state, jnp.asarray(packed), jnp.asarray(popcnt),
+                          jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
+                          n_used=n_used, min_count=min_count, kernel=kernel)
         if progress is not None:
             progress(r)
 

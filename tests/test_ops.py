@@ -134,3 +134,28 @@ def test_kinship_matches_reference_xnor():
             expect[i, j] = np.mean(1 ^ g[:, i] ^ g[:, j])
     np.fill_diagonal(expect, 1.0)
     np.testing.assert_allclose(K, expect, atol=1e-12)
+
+
+def test_blocked_top_k_exactly_matches_flat():
+    rng = np.random.default_rng(10)
+    for trial in range(8):
+        p, r, k = 3, 512, rng.integers(2, 40)
+        # heavy ties: quantized scores force boundary-tie handling
+        sc = np.round(rng.normal(size=(p, r)) * 3) / 3
+        sc = sc.astype(np.float32)
+        v1, i1 = jax.lax.top_k(jnp.asarray(sc), int(k))
+        v2, i2 = topk.blocked_top_k(jnp.asarray(sc), int(k), block=16)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_blocked_top_k_unaligned_and_small():
+    rng = np.random.default_rng(11)
+    sc = rng.normal(size=(2, 100)).astype(np.float32)  # 100 % 16 != 0
+    v1, i1 = jax.lax.top_k(jnp.asarray(sc), 7)
+    v2, i2 = topk.blocked_top_k(jnp.asarray(sc), 7, block=16)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # k >= r falls back to flat
+    v3, i3 = topk.blocked_top_k(jnp.asarray(sc), 200, block=16)
+    assert v3.shape == (2, 100)
