@@ -73,12 +73,13 @@ class KmersTableReader:
 
     # -- raw row streaming ---------------------------------------------------
 
-    def iter_raw(self, rows_per_chunk: int):
+    def iter_raw(self, rows_per_chunk: int, start_row: int = 0):
         """Yield (start_row, raw rows (R, 1+Wf) uint64) sequentially."""
         wf = self.header.row_words()
         with open(self.base + ".table", "rb") as f:
-            f.seek(formats.TableHeader.HEADER_BYTES)
-            start = 0
+            f.seek(formats.TableHeader.HEADER_BYTES
+                   + start_row * self.header.row_bytes())
+            start = start_row
             while start < self.n_rows_total:
                 take = min(rows_per_chunk, self.n_rows_total - start)
                 raw = np.fromfile(f, dtype="<u8", count=take * (1 + wf))
@@ -110,7 +111,8 @@ class KmersTableReader:
     # -- batched MAC-filtered loading ----------------------------------------
 
     def iter_batches(self, batch_size: int, min_count: int,
-                     kmers_subset: np.ndarray | None = None):
+                     kmers_subset: np.ndarray | None = None,
+                     start_row: int = 0):
         """Yield TableBatch objects of <= batch_size MAC-passing k-mers.
 
         `min_count` filters both tails: min_count <= N1 <= n_used - min_count
@@ -119,7 +121,7 @@ class KmersTableReader:
         """
         pend: list[TableBatch] = []
         pend_rows = 0
-        batch_start_row = 0
+        batch_start_row = start_row
 
         def concat_pending() -> TableBatch:
             return TableBatch(
@@ -131,7 +133,7 @@ class KmersTableReader:
             )
 
         chunk = max(1 << 16, min(batch_size, 1 << 21))
-        for start, raw in self.iter_raw(chunk):
+        for start, raw in self.iter_raw(chunk, start_row=start_row):
             pc = self.masked_popcount(raw)
             keep = (pc >= min_count) & (pc <= self.n_used - min_count)
             if kmers_subset is not None and len(kmers_subset):

@@ -70,6 +70,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               maf: float = 0.05, mac: int = 5, batch_size: int = 2_000_000,
               first_phenotype_top: int | None = None,
               count_patterns: bool = False, use_pallas: bool = False,
+              checkpoint_path: str | None = None, checkpoint_every: int = 20,
               progress=None) -> ScanResult:
     """Scan the full table; returns per-phenotype top-k with k-mer codes.
 
@@ -90,14 +91,21 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     patterns = _PatternCounter() if count_patterns else None
 
     from ..ops.scanstep import scan_step
+    from . import checkpoint as ckpt
     kernel = "pallas" if use_pallas else "xla"
     n_tested = 0
+    start_row = 0
+    if checkpoint_path:
+        resumed = ckpt.load_scan_state(checkpoint_path)
+        if resumed is not None:
+            state, start_row, n_tested = resumed
     # fixed device shape: pad every batch to batch_size (rounded up for the
     # pallas tile) so jit compiles exactly one program; padding rows carry
     # popcnt == 0 and score -inf inside the step
     pad_to = ((batch_size + 2047) // 2048) * 2048 if use_pallas else batch_size
 
-    for batch in reader.iter_batches(batch_size, min_count):
+    batch_i = 0
+    for batch in reader.iter_batches(batch_size, min_count, start_row=start_row):
         r = batch.n_rows
         n_tested += r
         if patterns is not None:
@@ -112,6 +120,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         state = scan_step(state, jnp.asarray(packed), jnp.asarray(popcnt),
                           jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
                           n_used=n_used, min_count=min_count, kernel=kernel)
+        batch_i += 1
+        if checkpoint_path and batch_i % checkpoint_every == 0:
+            ckpt.save_scan_state(checkpoint_path, state,
+                                 int(batch.row_index[-1]) + 1, n_tested)
         if progress is not None:
             progress(r)
 

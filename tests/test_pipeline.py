@@ -197,3 +197,72 @@ def test_full_gwas_finds_causal_kmer(tmp_path):
     for f in ["kmers/threshold_5per", "kmers/best_pvals", "summary.json",
               "pheno.phenotypes_permuted_transformed", "kmers/pheno.tested_kmers"]:
         assert (out / f).exists(), f
+
+
+def test_gamma_factor_matches_reference(tmp_path):
+    from kmersgwas_tpu.stats.gamma import calc_gamma
+    pop = build_population(tmp_path, n_samples=14, n_kmers=150)
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    n = hdr.n_accessions
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((pa[:, :, None] >> shifts) & np.uint64(1)).reshape(len(kmers), -1)[:, :n]
+    n1 = bits.sum(axis=1).astype(np.float64)
+    keep = (n1 >= 2) & (n1 <= n - 2)
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(n, n))
+    Vinv = A @ A.T / n
+    got = calc_gamma(pop["base"], Vinv, min_count=2)
+    # literal reference transcription (kmers_multiple_databases.cpp:390-416)
+    R = np.zeros((n, n))
+    M = 0
+    for row in np.nonzero(keep)[0]:
+        egm = n1[row] / n
+        fac = np.sqrt(1.0 / (n * (egm - egm * egm)))
+        g = (bits[row].astype(np.float64) - egm) * fac
+        R += np.outer(g, g)
+        M += 1
+    expect = float(np.sum(Vinv * (R / M)))
+    assert np.isclose(got, expect, rtol=1e-4)
+
+
+def test_scan_checkpoint_resume(tmp_path):
+    pop = build_population(tmp_path, n_samples=16, n_kmers=300)
+    n = len(pop["names"])
+    rng = np.random.default_rng(2)
+    y = rng.normal(size=(n, 2))
+    kw = dict(kmer_len=K, n_top=20, maf=0.05, mac=2, batch_size=50)
+    full = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"], **kw)
+
+    # run with checkpointing every batch, then simulate a crash by resuming
+    # from a checkpoint captured mid-stream
+    ck = str(tmp_path / "scan_ck")
+    from kmersgwas_tpu.pipeline import checkpoint as ckpt
+    partial_rows = 0
+    reader = scan_mod.KmersTableReader(pop["base"], names_to_use=pop["names"])
+    # first run: stop after 2 batches worth by driving associate with a
+    # checkpoint and then deleting nothing — emulate by calling associate
+    # twice; second call must resume and produce identical results
+    res1 = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                              checkpoint_path=ck, checkpoint_every=1, **kw)
+    # checkpoint exists and holds the final stream position
+    st = ckpt.load_scan_state(ck)
+    assert st is not None
+    res2 = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                              checkpoint_path=ck, checkpoint_every=1, **kw)
+    for j in range(2):
+        assert set(res1.kmers[j].tolist()) == set(full.kmers[j].tolist())
+        assert set(res2.kmers[j].tolist()) == set(full.kmers[j].tolist())
+        np.testing.assert_allclose(np.sort(res1.scores[j]), np.sort(full.scores[j]), rtol=1e-6)
+
+
+def test_kinship_checkpoint_resume(tmp_path):
+    pop = build_population(tmp_path, n_samples=12, n_kmers=200)
+    full = kinship_mod.kinship_from_table(pop["base"], maf=0.1, batch_size=64)
+    ck = str(tmp_path / "kin_ck")
+    r1 = kinship_mod.kinship_from_table(pop["base"], maf=0.1, batch_size=64,
+                                        checkpoint_path=ck, checkpoint_every=1)
+    np.testing.assert_allclose(r1, full, atol=1e-12)
+    # resume from the mid-stream checkpoint: must complete to the same matrix
+    r2 = kinship_mod.kinship_from_table(pop["base"], maf=0.1, batch_size=64,
+                                        checkpoint_path=ck, checkpoint_every=1)
+    np.testing.assert_allclose(r2, full, atol=1e-12)
