@@ -82,7 +82,8 @@ def _score_t_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, out_ref,
     w = packed_ref[...]                                   # (W32, TR) uint32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
     bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
-    g = bits.astype(jnp.float32).reshape(-1, w.shape[1])  # (N_pad, TR)
+    # Mosaic has no uint32->f32 cast; hop through int32
+    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
     yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
@@ -141,7 +142,8 @@ def _score_kernel(packed_ref, pop_ref, y_ref, ysum_ref, out_ref,
     packed = packed_ref[...]                       # (TR, W32) uint32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
     bits = ((packed[:, :, None] >> shifts) & jnp.uint32(1))
-    g = bits.astype(jnp.float32).reshape(packed.shape[0], packed.shape[1] * 32)
+    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(
+        packed.shape[0], packed.shape[1] * 32)
     yigi = jnp.dot(g, y_ref[...], preferred_element_type=jnp.float32)
     n = jnp.float32(n_used)
     n1 = pop_ref[...].reshape(-1, 1)
