@@ -43,12 +43,11 @@ def main():
     popcnt_d = jax.device_put(popcnt)
     lo_d, hi_d = jax.device_put(lo), jax.device_put(hi)
 
-    def step(state, packed, popcnt, lo, hi):
-        scores = score_ops.score_batch(packed, popcnt, yp, ysum,
-                                       n_used=n_used, min_count=min_count)
-        return topk_ops.update(state, scores, lo, hi)
-
-    step_j = jax.jit(step)
+    from kmersgwas_tpu.ops.scanstep import scan_step
+    import functools
+    step_j = functools.partial(scan_step, y_padded=yp, y_sum=ysum,
+                               n_used=n_used, min_count=min_count,
+                               kernel="pallas", cand_k=1024)
     state = topk_ops.init_state(p, k)
     state = step_j(state, packed_d, popcnt_d, lo_d, hi_d)  # compile + warm
     jax.block_until_ready(state.scores)

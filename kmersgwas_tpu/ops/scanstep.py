@@ -34,15 +34,37 @@ def _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count):
     return jnp.where(n1 > 0, score, -jnp.inf).T           # (P, R)
 
 
+def _merge(state: topk_ops.TopKState, v, blo, bhi) -> topk_ops.TopKState:
+    k = state.scores.shape[1]
+    cat_v = jnp.concatenate([state.scores, v], axis=1)
+    cat_lo = jnp.concatenate([state.row_lo, blo], axis=1)
+    cat_hi = jnp.concatenate([state.row_hi, bhi], axis=1)
+    nv, j = jax.lax.top_k(cat_v, k)
+    return topk_ops.TopKState(scores=nv,
+                              row_lo=jnp.take_along_axis(cat_lo, j, axis=1),
+                              row_hi=jnp.take_along_axis(cat_hi, j, axis=1))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("n_used", "min_count", "kernel", "block"))
+                   static_argnames=("n_used", "min_count", "kernel", "block",
+                                    "cand_k"))
 def scan_step(state: topk_ops.TopKState, packed, popcnt, row_lo, row_hi,
               y_padded, y_sum, *, n_used: int, min_count: int,
-              kernel: str = "xla", block: int = 16) -> topk_ops.TopKState:
+              kernel: str = "xla", block: int = 16,
+              cand_k: int | None = None) -> topk_ops.TopKState:
     """One streamed batch -> merged top-k state.
 
     packed (R, W32) uint32, popcnt (R,) f32 with 0 marking padding rows,
     row_lo/row_hi (R,) int32 encoded row ids, y_padded (N_pad, P) f32.
+
+    cand_k: optional candidate cap. Extracting only the batch's top-cand_k
+    (cand_k << K) makes the dominant top-k phases much smaller; the merge is
+    exact whenever the post-merge k-th score strictly exceeds the cand_k-th
+    batch score (then every batch element that could displace the state was
+    among the candidates; equal scores never displace, matching the heap's
+    strict-> rule, best_associations_heap.cpp:50). A `lax.cond` falls back
+    to the full extraction on the rare batches (state not yet full, or a
+    candidate tie at the boundary) where that check fails.
     """
     if kernel == "pallas":
         from .score import score_batch_t_pallas
@@ -52,12 +74,17 @@ def scan_step(state: topk_ops.TopKState, packed, popcnt, row_lo, row_hi,
         sc = _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count)
 
     k = state.scores.shape[1]
-    v, i = topk_ops.blocked_top_k(sc, k, block=block)
-    blo, bhi = row_lo[i], row_hi[i]
-    cat_v = jnp.concatenate([state.scores, v], axis=1)
-    cat_lo = jnp.concatenate([state.row_lo, blo], axis=1)
-    cat_hi = jnp.concatenate([state.row_hi, bhi], axis=1)
-    nv, j = jax.lax.top_k(cat_v, k)
-    return topk_ops.TopKState(scores=nv,
-                              row_lo=jnp.take_along_axis(cat_lo, j, axis=1),
-                              row_hi=jnp.take_along_axis(cat_hi, j, axis=1))
+
+    def full_merge(_):
+        v, i = topk_ops.blocked_top_k(sc, k, block=block)
+        return _merge(state, v, row_lo[i], row_hi[i])
+
+    if not cand_k or cand_k >= k:
+        return full_merge(None)
+
+    v, i = topk_ops.blocked_top_k(sc, cand_k, block=block)
+    merged = _merge(state, v, row_lo[i], row_hi[i])
+    c_min = v[:, -1]
+    new_kth = merged.scores[:, -1]
+    exact = jnp.all(new_kth > c_min)
+    return jax.lax.cond(exact, lambda _: merged, full_merge, None)

@@ -75,7 +75,9 @@ def blocked_top_k(sc: jax.Array, k: int, block: int = 16):
     nb = r // block
     blocks = sc.reshape(p, nb, block)
     bmax = jnp.max(blocks, axis=-1)                       # (P, nb)
-    _, bi = jax.lax.top_k(bmax, k)                        # (P, k) block ids
+    # recurse: selecting the k highest-max blocks is itself a top-k over nb
+    # lanes, which the same argument shrinks again when nb >> k
+    _, bi = blocked_top_k(bmax, k, block)                 # (P, k) block ids
     bi = jnp.sort(bi, axis=-1)                            # ascending rows
     cand = jnp.take_along_axis(blocks, bi[:, :, None], axis=1)
     cand = cand.reshape(p, k * block)

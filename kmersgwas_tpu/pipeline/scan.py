@@ -71,11 +71,15 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               first_phenotype_top: int | None = None,
               count_patterns: bool = False, use_pallas: bool = False,
               checkpoint_path: str | None = None, checkpoint_every: int = 20,
+              dtable_cache: str | None = None,
               progress=None) -> ScanResult:
     """Scan the full table; returns per-phenotype top-k with k-mer codes.
 
     pheno_values: (n_accessions, P) TRANSFORMED phenotype columns.
     first_phenotype_top: like --first_phenotype_best, a larger k for column 0.
+    dtable_cache: path to a device-native pre-packed table (core/dtable.py);
+    built on first use, then batches stream as raw memmap slices with no
+    host-side squeeze/pack work.
     """
     reader = KmersTableReader(table_base, names_to_use=pheno_accessions)
     n_used = reader.n_used
@@ -104,26 +108,51 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     # popcnt == 0 and score -inf inside the step
     pad_to = ((batch_size + 2047) // 2048) * 2048 if use_pallas else batch_size
 
+    # candidate cap for the fast merge path (exact, with cond fallback)
+    cand_k = max(256, k_eff // 8) if k_eff > 512 else None
+
+    if dtable_cache:
+        from ..core import dtable as dt_mod
+        import os
+        dt = None
+        if os.path.exists(dtable_cache):
+            dt = dt_mod.DTableReader(dtable_cache)
+            if (dt.hdr.min_count != min_count
+                    or dt.hdr.n_used != n_used):
+                dt = None  # stale cache for a different filter/subset
+        if dt is None:
+            dt_mod.build_dtable(table_base, dtable_cache,
+                                names_to_use=pheno_accessions,
+                                min_count=min_count)
+            dt = dt_mod.DTableReader(dtable_cache)
+        batches = ((pl_, pc_, rw_) for _, pl_, pc_, rw_
+                   in dt.iter_batches(batch_size, start_row=0))
+    else:
+        batches = ((b.packed, b.popcnt, b.row_index) for b
+                   in reader.iter_batches(batch_size, min_count,
+                                          start_row=start_row))
+
     batch_i = 0
-    for batch in reader.iter_batches(batch_size, min_count, start_row=start_row):
-        r = batch.n_rows
+    for b_packed, b_popcnt, b_rows in batches:
+        r = len(b_rows)
         n_tested += r
         if patterns is not None:
-            patterns.add(batch.packed)
+            patterns.add(np.asarray(b_packed))
         packed = np.zeros((pad_to, reader.w32), np.uint32)
-        packed[:r] = batch.packed
+        packed[:r] = b_packed
         popcnt = np.zeros(pad_to, np.float32)
-        popcnt[:r] = batch.popcnt
+        popcnt[:r] = b_popcnt
         rows = np.zeros(pad_to, np.int64)
-        rows[:r] = batch.row_index
+        rows[:r] = b_rows
         lo, hi = topk_ops.encode_rows(rows)
         state = scan_step(state, jnp.asarray(packed), jnp.asarray(popcnt),
                           jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
-                          n_used=n_used, min_count=min_count, kernel=kernel)
+                          n_used=n_used, min_count=min_count, kernel=kernel,
+                          cand_k=cand_k)
         batch_i += 1
-        if checkpoint_path and batch_i % checkpoint_every == 0:
+        if checkpoint_path and not dtable_cache and batch_i % checkpoint_every == 0:
             ckpt.save_scan_state(checkpoint_path, state,
-                                 int(batch.row_index[-1]) + 1, n_tested)
+                                 int(b_rows[-1]) + 1, n_tested)
         if progress is not None:
             progress(r)
 

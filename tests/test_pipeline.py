@@ -266,3 +266,37 @@ def test_kinship_checkpoint_resume(tmp_path):
     r2 = kinship_mod.kinship_from_table(pop["base"], maf=0.1, batch_size=64,
                                         checkpoint_path=ck, checkpoint_every=1)
     np.testing.assert_allclose(r2, full, atol=1e-12)
+
+
+def test_dtable_roundtrip_and_scan_equivalence(tmp_path):
+    from kmersgwas_tpu.core import dtable as dt_mod
+    pop = build_population(tmp_path, n_samples=16, n_kmers=300)
+    n = len(pop["names"])
+    # build dtable and verify sections against the reader
+    rd = KmersTableReader(pop["base"])
+    dt_path = str(tmp_path / "pop.dtable")
+    hdr = dt_mod.build_dtable(pop["base"], dt_path, min_count=2, batch_rows=64)
+    dt = dt_mod.DTableReader(dt_path)
+    whole = rd.load_all(min_count=2)
+    assert dt.hdr.n_rows == whole.n_rows
+    assert np.array_equal(np.asarray(dt.kmers), whole.kmers)
+    assert np.array_equal(np.asarray(dt.planes), whole.packed)
+    assert np.array_equal(np.asarray(dt.popcnt), whole.popcnt.astype(np.uint16))
+    assert np.array_equal(np.asarray(dt.src_rows), whole.row_index)
+
+    # scan via dtable must equal direct scan
+    rng = np.random.default_rng(4)
+    y = rng.normal(size=(n, 3))
+    kw = dict(kmer_len=K, n_top=30, maf=0.1, mac=1, batch_size=128)
+    direct = scan_mod.associate(pop["base"], pop["names"], y, list("abc"), **kw)
+    cached = scan_mod.associate(pop["base"], pop["names"], y, list("abc"),
+                                dtable_cache=str(tmp_path / "cache.dtable"), **kw)
+    # second call hits the cache
+    cached2 = scan_mod.associate(pop["base"], pop["names"], y, list("abc"),
+                                 dtable_cache=str(tmp_path / "cache.dtable"), **kw)
+    for j in range(3):
+        assert set(direct.kmers[j].tolist()) == set(cached.kmers[j].tolist())
+        assert set(direct.kmers[j].tolist()) == set(cached2.kmers[j].tolist())
+        np.testing.assert_allclose(np.sort(direct.scores[j]),
+                                   np.sort(cached.scores[j]), rtol=1e-6)
+    assert cached.n_tested == direct.n_tested

@@ -123,3 +123,23 @@ def test_host_range_partition_covers_space():
     assert los[0] == 0
     assert all(his[i] == los[i + 1] for i in range(7))
     assert his[-1] >= (1 << 62) - 1
+
+
+def test_host_row_span_partitions_table(tmp_path):
+    from kmersgwas_tpu.parallel import multihost
+    from test_pipeline import build_population
+    pop = build_population(tmp_path, n_samples=8, n_kmers=300)
+    from kmersgwas_tpu.core import formats as fm
+    hdr, kmers, _ = fm.read_table(pop["base"])
+    spans = [multihost.host_row_span(pop["base"], h, 4) for h in range(4)]
+    assert spans[0][0] == 0
+    assert spans[-1][1] == len(kmers)
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] == b[0]
+    # every row's k-mer falls inside its host's key range
+    from kmersgwas_tpu.parallel.sharding import host_range_of_kmer_space
+    for h, (s, e) in enumerate(spans):
+        lo, hi = host_range_of_kmer_space(h, 4, 15)
+        if e > s:
+            assert int(kmers[s]) > lo or h == 0
+            assert int(kmers[e - 1]) <= hi
