@@ -31,17 +31,23 @@ def main():
     w32 = n_pad // 32
 
     rng = np.random.default_rng(0)
-    packed = rng.integers(0, 1 << 32, size=(rows, w32), dtype=np.uint64).astype(np.uint32)
-    popcnt = np.asarray(
-        jax.device_get(jnp.sum(jax.lax.population_count(jnp.asarray(packed)), axis=1)),
-        dtype=np.float32)
     y = rng.normal(size=(n_used, p)).astype(np.float32)
     yp, ysum = score_ops.prepare_phenotypes(y, n_pad)
-    lo, hi = topk_ops.encode_rows(np.arange(rows))
 
-    packed_d = jax.device_put(packed)
-    popcnt_d = jax.device_put(popcnt)
-    lo_d, hi_d = jax.device_put(lo), jax.device_put(hi)
+    # distinct device-resident batches emulate a real stream: the candidate
+    # fast path engages once the carried k-th score clears a batch quantile,
+    # which needs genuinely distinct rows (a repeated batch never does)
+    n_batches = 12
+    batches = []
+    for b in range(n_batches):
+        packed = rng.integers(0, 1 << 32, size=(rows, w32),
+                              dtype=np.uint64).astype(np.uint32)
+        popcnt = np.asarray(jax.device_get(jnp.sum(
+            jax.lax.population_count(jnp.asarray(packed)), axis=1)),
+            dtype=np.float32)
+        lo, hi = topk_ops.encode_rows(np.arange(b * rows, (b + 1) * rows))
+        batches.append((jax.device_put(packed), jax.device_put(popcnt),
+                        jax.device_put(lo), jax.device_put(hi)))
 
     from kmersgwas_tpu.ops.scanstep import scan_step
     import functools
@@ -49,13 +55,14 @@ def main():
                                n_used=n_used, min_count=min_count,
                                kernel="pallas", cand_k=1024)
     state = topk_ops.init_state(p, k)
-    state = step_j(state, packed_d, popcnt_d, lo_d, hi_d)  # compile + warm
+    for b in batches:                      # compile + warm the carried state
+        state = step_j(state, *b)
     jax.block_until_ready(state.scores)
 
-    iters = 10
+    iters = 24
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step_j(state, packed_d, popcnt_d, lo_d, hi_d)
+    for i in range(iters):
+        state = step_j(state, *batches[i % n_batches])
     jax.block_until_ready(state.scores)
     dt = time.perf_counter() - t0
 
