@@ -54,8 +54,14 @@ def main():
     step_j = functools.partial(scan_step, y_padded=yp, y_sum=ysum,
                                n_used=n_used, min_count=min_count,
                                kernel="pallas", cand_k=1024)
+    import sys
+    print("compiling...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     state = topk_ops.init_state(p, k)
-    for b in batches:                      # compile + warm the carried state
+    state = step_j(state, *batches[0])
+    jax.block_until_ready(state.scores)
+    print(f"compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    for b in batches[1:]:                  # warm the carried state
         state = step_j(state, *b)
     jax.block_until_ready(state.scores)
 

@@ -32,7 +32,7 @@ def _add_gwas(sub):
             n_permutations=a.permutations, maf=a.maf, mac=a.mac,
             min_data_points=a.min_data_points, batch_size=a.batch_size,
             pattern_counter=a.pattern_counter, kinship_path=a.kinship,
-            seed=a.seed, use_pallas=a.pallas))
+            seed=a.seed, use_pallas=True if a.pallas else "auto"))
         print(f"threshold_5per={res.thresholds['5per']:.4f} "
               f"pass_5per={len(res.pass_5per)} tested={res.n_tested}")
     p.set_defaults(func=run)
@@ -142,7 +142,7 @@ def _add_associate(sub):
                              pheno.names, kmer_len=a.kmer_len, n_top=a.best,
                              maf=a.maf, mac=a.mac, batch_size=a.batch_size,
                              count_patterns=a.pattern_counter,
-                             use_pallas=a.pallas)
+                             use_pallas=True if a.pallas else "auto")
         base = f"{a.output_dir}/{a.base_name}"
         if a.kmers_scores:
             for j, name in enumerate(res.names):

@@ -48,7 +48,7 @@ class GWASConfig:
     kinship_maf: float = 0.05
     kinship_path: str | None = None     # precomputed kinship (else from table)
     seed: int = 0
-    use_pallas: bool = False
+    use_pallas: str | bool = "auto"
     lmm_grid: int = 64
     lmm_refine: int = 40
 

@@ -69,7 +69,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               pheno_names, *, kmer_len: int, n_top: int = 10001,
               maf: float = 0.05, mac: int = 5, batch_size: int = 2_000_000,
               first_phenotype_top: int | None = None,
-              count_patterns: bool = False, use_pallas: bool = False,
+              count_patterns: bool = False, use_pallas="auto",
               checkpoint_path: str | None = None, checkpoint_every: int = 20,
               dtable_cache: str | None = None,
               progress=None) -> ScanResult:
@@ -95,8 +95,9 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     patterns = _PatternCounter() if count_patterns else None
 
     from ..ops.scanstep import scan_step
+    from ..utils import StageTimer, pick_kernel
     from . import checkpoint as ckpt
-    kernel = "pallas" if use_pallas else "xla"
+    kernel = pick_kernel(use_pallas)
     n_tested = 0
     start_row = 0
     if checkpoint_path:
@@ -106,7 +107,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     # fixed device shape: pad every batch to batch_size (rounded up for the
     # pallas tile) so jit compiles exactly one program; padding rows carry
     # popcnt == 0 and score -inf inside the step
-    pad_to = ((batch_size + 2047) // 2048) * 2048 if use_pallas else batch_size
+    pad_to = (((batch_size + 2047) // 2048) * 2048 if kernel == "pallas"
+              else batch_size)
 
     # candidate cap for the fast merge path (exact, with cond fallback)
     cand_k = max(256, k_eff // 8) if k_eff > 512 else None
@@ -132,6 +134,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                    in reader.iter_batches(batch_size, min_count,
                                           start_row=start_row))
 
+    timer = StageTimer("scan", "kmers", quiet=progress is not None)
     batch_i = 0
     for b_packed, b_popcnt, b_rows in batches:
         r = len(b_rows)
@@ -153,8 +156,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         if checkpoint_path and not dtable_cache and batch_i % checkpoint_every == 0:
             ckpt.save_scan_state(checkpoint_path, state,
                                  int(b_rows[-1]) + 1, n_tested)
+        timer.add(r)
         if progress is not None:
             progress(r)
+    timer.done()
 
     per_pheno = topk_ops.finalize(state)
 
