@@ -23,6 +23,13 @@ def _add_gwas(sub):
     p.add_argument("--kinship", default=None, help="precomputed kinship TSV")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--snp_matrix", default=None, help="PLINK base for the SNP arm")
+    p.add_argument("--run_on_snps_one_step", action="store_true")
+    p.add_argument("--run_on_snps_two_steps", action="store_true")
+    p.add_argument("--snps_number", type=int, default=10001)
+    p.add_argument("--dont_run_on_kmers", action="store_true")
+    p.add_argument("--dtable_cache", default=None,
+                   help="path for the device-native packed table cache")
 
     def run(a):
         from ..pipeline.gwas import GWASConfig, run_gwas
@@ -32,8 +39,13 @@ def _add_gwas(sub):
             n_permutations=a.permutations, maf=a.maf, mac=a.mac,
             min_data_points=a.min_data_points, batch_size=a.batch_size,
             pattern_counter=a.pattern_counter, kinship_path=a.kinship,
-            seed=a.seed, use_pallas=True if a.pallas else "auto"))
-        print(f"threshold_5per={res.thresholds['5per']:.4f} "
+            seed=a.seed, use_pallas=True if a.pallas else "auto",
+            run_kmers=not a.dont_run_on_kmers, snps_matrix=a.snp_matrix,
+            run_snps=("one_step" if a.run_on_snps_one_step else
+                      "two_steps" if a.run_on_snps_two_steps else None),
+            n_snps=a.snps_number, dtable_cache=a.dtable_cache))
+        th5 = res.thresholds.get("5per")
+        print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "
               f"pass_5per={len(res.pass_5per)} tested={res.n_tested}")
     p.set_defaults(func=run)
 

@@ -51,6 +51,11 @@ class GWASConfig:
     use_pallas: str | bool = "auto"
     lmm_grid: int = 64
     lmm_refine: int = 40
+    run_kmers: bool = True
+    snps_matrix: str | None = None      # PLINK base for the SNP arm
+    run_snps: str | None = None         # None | "one_step" | "two_steps"
+    n_snps: int = 10001
+    dtable_cache: str | None = None
 
 
 @dataclass
@@ -106,6 +111,25 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     formats.write_phenotypes(out / "pheno.phenotypes_permuted_transformed",
                              formats.PhenotypeTable(tr.names, used, tr.transformed))
 
+    # 3b. optional SNP arm (kmers_gwas.py:179-223)
+    snp_summary = None
+    if cfg.run_snps:
+        if cfg.snps_matrix is None:
+            raise ValueError("run_snps requires snps_matrix")
+        w_eig_s, U_eig_s = np.linalg.eigh(K)
+        from .snp_gwas import run_snp_arm
+        snp_summary = run_snp_arm(
+            cfg.snps_matrix, cfg.outdir, used, tr.phenotypes, tr.transformed,
+            tr.names, w_eig_s, U_eig_s, mode=cfg.run_snps, n_snps=cfg.n_snps,
+            maf=cfg.maf, mac=cfg.mac, n_permutations=cfg.n_permutations,
+            lmm_grid=cfg.lmm_grid, lmm_refine=cfg.lmm_refine)
+
+    if not cfg.run_kmers:
+        (out / "log_file").write_text("\n".join(log_lines) + "\n")
+        return GWASResult(thresholds=(snp_summary or {}).get("thresholds", {}),
+                          best_pvals=(snp_summary or {}).get("best_pvals", {}),
+                          heritability=tr.heritability)
+
     # 4. association scan -> top-k per column
     kmers_dir = out / "kmers"
     kmers_dir.mkdir(exist_ok=True)
@@ -113,7 +137,7 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         cfg.kmers_table, used, tr.transformed, tr.names,
         kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
         batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
-        use_pallas=cfg.use_pallas)
+        use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache)
     (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
     if result.n_patterns is not None:
         (kmers_dir / "pheno.pattern_counter").write_text(f"{result.n_patterns}\n")

@@ -174,3 +174,49 @@ def test_table_to_bed_shards_and_dedup(tmp_path):
                              maf=0.0, mac=1, batch_size=1000, unique_patterns=True)
     uniq = len(set(map(tuple, bits[keep].tolist())))
     assert n2 == uniq
+
+
+def test_snp_gwas_arm_two_steps(tmp_path):
+    """SNP arm end-to-end: a causal SNP must dominate and clear thresholds."""
+    from kmersgwas_tpu.pipeline.gwas import GWASConfig, run_gwas
+    from test_pipeline import build_population
+    rng = np.random.default_rng(7)
+    # population with a k-mers table (for kinship) + a SNP bed with a causal SNP
+    pop = build_population(tmp_path, n_samples=40, n_kmers=300, seed=9)
+    n = 40
+    n_snps = 50
+    dubits = np.where(rng.random((n_snps, n)) < 0.5, 3, 0).astype(np.uint8)
+    causal = rng.integers(0, 2, size=n)
+    dubits[7] = np.where(causal > 0, 3, 0)
+    base = str(tmp_path / "snps")
+    bpr = (n + 3) // 4
+    body = np.zeros((n_snps, bpr), dtype=np.uint8)
+    for j in range(n):
+        body[:, j // 4] |= dubits[:, j] << ((j % 4) * 2)
+    with open(base + ".bed", "wb") as f:
+        f.write(formats.PLINK_BED_MAGIC)
+        body.tofile(f)
+    with open(base + ".bim", "w") as f:
+        for i in range(n_snps):
+            f.write(f"1\tsnp{i}\t0\t{i}\tA\tG\n")
+    formats.write_fam(base + ".fam", pop["names"], np.zeros(n))
+
+    y = 3.0 * causal + rng.normal(scale=0.5, size=n)
+    pheno = tmp_path / "p.tsv"
+    formats.write_phenotypes(pheno, formats.PhenotypeTable(
+        ["phenotype_value"], pop["names"], y[:, None]))
+
+    cfg = GWASConfig(pheno_path=str(pheno), kmers_table=pop["base"],
+                     outdir=str(tmp_path / "out"), kmer_len=15,
+                     n_permutations=15, maf=0.05, mac=2, min_data_points=10,
+                     run_kmers=False, snps_matrix=base, run_snps="two_steps",
+                     n_snps=10, lmm_grid=32, lmm_refine=20)
+    res = run_gwas(cfg)
+    out = tmp_path / "out" / "snps"
+    assert (out / "threshold_5per").exists()
+    passed = (out / "pass_threshold_5per").read_text().splitlines()
+    assert any("snp7" == ln.split("\t")[1] for ln in passed), passed
+    # snp7 is the best p in the real column
+    lines = (out / "output" / "phenotype_value.assoc.txt").read_text().splitlines()[1:]
+    best = min(lines, key=lambda l: float(l.split("\t")[8]))
+    assert best.split("\t")[1] == "snp7"
