@@ -47,6 +47,36 @@ def effective_min_count(n_accessions: int, maf: float, mac: int) -> int:
     return max(int(mac), math.ceil(n_accessions * maf))
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` on a background thread, buffering `depth` items, so
+    host-side batch prep (read + squeeze + pad) overlaps device compute."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:   # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
 class _PatternCounter:
     """Streaming distinct-pattern counter (pattern hash per row, merged sets),
     equivalent of update_presence_absence_pattern_counter
@@ -134,13 +164,11 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                    in reader.iter_batches(batch_size, min_count,
                                           start_row=start_row))
 
-    timer = StageTimer("scan", "kmers", quiet=progress is not None)
-    batch_i = 0
-    for b_packed, b_popcnt, b_rows in batches:
+    def prepare(args):
+        """Host-side batch prep (runs on the prefetch thread): pad to the
+        fixed device shape and pre-encode row ids."""
+        b_packed, b_popcnt, b_rows = args
         r = len(b_rows)
-        n_tested += r
-        if patterns is not None:
-            patterns.add(np.asarray(b_packed))
         packed = np.zeros((pad_to, reader.w32), np.uint32)
         packed[:r] = b_packed
         popcnt = np.zeros(pad_to, np.float32)
@@ -148,14 +176,23 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         rows = np.zeros(pad_to, np.int64)
         rows[:r] = b_rows
         lo, hi = topk_ops.encode_rows(rows)
+        pats = np.asarray(b_packed) if patterns is not None else None
+        return r, packed, popcnt, lo, hi, int(b_rows[-1]) if r else 0, pats
+
+    timer = StageTimer("scan", "kmers", quiet=progress is not None)
+    batch_i = 0
+    for r, packed, popcnt, lo, hi, last_row, pats in _prefetch(
+            map(prepare, batches), depth=2):
+        n_tested += r
+        if pats is not None:
+            patterns.add(pats)
         state = scan_step(state, jnp.asarray(packed), jnp.asarray(popcnt),
                           jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
                           n_used=n_used, min_count=min_count, kernel=kernel,
                           cand_k=cand_k)
         batch_i += 1
         if checkpoint_path and not dtable_cache and batch_i % checkpoint_every == 0:
-            ckpt.save_scan_state(checkpoint_path, state,
-                                 int(b_rows[-1]) + 1, n_tested)
+            ckpt.save_scan_state(checkpoint_path, state, last_row + 1, n_tested)
         timer.add(r)
         if progress is not None:
             progress(r)
