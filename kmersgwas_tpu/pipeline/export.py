@@ -102,3 +102,35 @@ def table_to_bed(table_base: str, out_base: str, *, pheno_path: str,
         n_written += len(rows)
         shard += 1
     return n_written
+
+
+def dump_table_textual(table_base: str, out, max_rows: int | None = None,
+                       chunk_rows: int = 1 << 18) -> int:
+    """Textual k-mer + presence-bit dump (output_kmers_textual equivalent,
+    kmers_multiple_databases.cpp:162-171): per row the k-mer string and the
+    accession bits in column order (the reference prints each uint64 word
+    bit-reversed so bit 0 = first accession; emitting bits directly in
+    accession order is the same rendering)."""
+    reader = KmersTableReader(table_base)
+    n = reader.header.n_accessions
+    k = reader.header.kmer_len
+    written = 0
+    close = False
+    if isinstance(out, str):
+        out = open(out, "w")
+        close = True
+    try:
+        for start, raw in reader.iter_raw(chunk_rows):
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((raw[:, 1:, None] >> shifts) & np.uint64(1)
+                    ).reshape(len(raw), -1)[:, :n]
+            strs = codec.decode_kmers(raw[:, 0], k)
+            for s, b in zip(strs, bits):
+                out.write(s + "\t" + "".join("1" if x else "0" for x in b) + "\n")
+                written += 1
+                if max_rows and written >= max_rows:
+                    return written
+    finally:
+        if close:
+            out.close()
+    return written

@@ -53,3 +53,21 @@ class StageTimer:
             print(f"[{self.name}] done: {self.items:,} {self.unit} in "
                   f"{dt:.1f}s ({rate:,.0f}/s)", file=sys.stderr, flush=True)
         return dt
+
+
+class profile_trace:
+    """Context manager around jax.profiler.trace: writes a TensorBoard-
+    loadable device trace (the reference's only profiling was wall-clock
+    prints; SURVEY.md §5)."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()

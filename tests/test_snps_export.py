@@ -220,3 +220,17 @@ def test_snp_gwas_arm_two_steps(tmp_path):
     lines = (out / "output" / "phenotype_value.assoc.txt").read_text().splitlines()[1:]
     best = min(lines, key=lambda l: float(l.split("\t")[8]))
     assert best.split("\t")[1] == "snp7"
+
+
+def test_dump_table_textual(tmp_path):
+    import io
+    pop = build_population(tmp_path, n_samples=6, n_kmers=80)
+    buf = io.StringIO()
+    n = export.dump_table_textual(pop["base"], buf)
+    hdr, kmers, pa = formats.read_table(pop["base"])
+    lines = buf.getvalue().splitlines()
+    assert n == len(lines) == len(kmers)
+    s0, bits0 = lines[0].split("\t")
+    assert codec.encode_kmers([s0])[0] == kmers[0]
+    expect = "".join(str((int(pa[0, 0]) >> c) & 1) for c in range(6))
+    assert bits0 == expect
