@@ -68,6 +68,18 @@ class GWASResult:
     n_tested: int = 0
 
 
+def _stats_device():
+    """Context running the statistical layer on the host CPU backend in
+    float64 (REML/eigh/LMM are tiny next to the scan; the R/GEMMA stack they
+    replace was double precision). The scan kernels pin their own dtypes and
+    devices, so the global x64 switch does not affect them."""
+    import contextlib
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    cpu = jax.devices("cpu")[0]
+    return jax.default_device(cpu)
+
+
 def run_gwas(cfg: GWASConfig) -> GWASResult:
     out = Path(cfg.outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -104,7 +116,8 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         names=["phenotype_value"], accessions=used, values=y[:, None]))
 
     # 3. transform + permutations
-    tr = transform_mod.transform_and_permute(y, K, cfg.n_permutations, seed=cfg.seed)
+    with _stats_device():
+        tr = transform_mod.transform_and_permute(y, K, cfg.n_permutations, seed=cfg.seed)
     log(f"EMMA vg={tr.vg} ve={tr.ve} herit={tr.heritability}")
     formats.write_phenotypes(out / "pheno.phenotypes_and_permutations",
                              formats.PhenotypeTable(tr.names, used, tr.phenotypes))
@@ -118,11 +131,13 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             raise ValueError("run_snps requires snps_matrix")
         w_eig_s, U_eig_s = np.linalg.eigh(K)
         from .snp_gwas import run_snp_arm
-        snp_summary = run_snp_arm(
-            cfg.snps_matrix, cfg.outdir, used, tr.phenotypes, tr.transformed,
-            tr.names, w_eig_s, U_eig_s, mode=cfg.run_snps, n_snps=cfg.n_snps,
-            maf=cfg.maf, mac=cfg.mac, n_permutations=cfg.n_permutations,
-            lmm_grid=cfg.lmm_grid, lmm_refine=cfg.lmm_refine)
+        with _stats_device():
+            snp_summary = run_snp_arm(
+                cfg.snps_matrix, cfg.outdir, used, tr.phenotypes,
+                tr.transformed, tr.names, w_eig_s, U_eig_s, mode=cfg.run_snps,
+                n_snps=cfg.n_snps, maf=cfg.maf, mac=cfg.mac,
+                n_permutations=cfg.n_permutations, lmm_grid=cfg.lmm_grid,
+                lmm_refine=cfg.lmm_refine)
 
     if not cfg.run_kmers:
         (out / "log_file").write_text("\n".join(log_lines) + "\n")
@@ -155,8 +170,10 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             if len(rows) else np.zeros((0, n))
         yj = tr.phenotypes[:, j]           # UNtransformed column (kmers_gwas.py:152-160)
         if len(rows):
-            res = lmm_mod.lmm_scan(genos, yj - yj.mean(), w_eig, U_eig,
-                                   n_grid=cfg.lmm_grid, n_refine=cfg.lmm_refine)
+            with _stats_device():
+                res = lmm_mod.lmm_scan(genos, yj - yj.mean(), w_eig, U_eig,
+                                       n_grid=cfg.lmm_grid,
+                                       n_refine=cfg.lmm_refine)
             pvals = np.asarray(res.p_lrt, dtype=np.float64)
             lam = np.asarray(res.log10_lambda, dtype=np.float64)
             beta = np.asarray(res.beta, dtype=np.float64)
