@@ -14,7 +14,6 @@ Two counting modes, matching the reference's dual-KMC-run protocol
 from __future__ import annotations
 
 import gzip
-from pathlib import Path
 
 import numpy as np
 

@@ -17,7 +17,6 @@ planes (lo 30 bits / hi bits).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

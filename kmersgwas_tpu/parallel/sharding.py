@@ -17,7 +17,6 @@ The samples axis (N <= a few thousand) is replicated everywhere.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -73,7 +73,6 @@ def _stats_device():
     float64 (REML/eigh/LMM are tiny next to the scan; the R/GEMMA stack they
     replace was double precision). The scan kernels pin their own dtypes and
     devices, so the global x64 switch does not affect them."""
-    import contextlib
     import jax
     jax.config.update("jax_enable_x64", True)
     cpu = jax.devices("cpu")[0]

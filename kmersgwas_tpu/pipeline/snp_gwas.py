@@ -20,11 +20,9 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core import formats
 from ..snps.assoc import most_associated_snps
 from ..snps.bed import load_bed_planes
 from ..stats import lmm as lmm_mod
-from ..ops.bitplanes import pack_bits_np  # noqa: F401  (re-export convenience)
 
 
 def _dose_matrix(planes, n):
