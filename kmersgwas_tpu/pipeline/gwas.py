@@ -72,11 +72,29 @@ def _stats_device():
     """Context running the statistical layer on the host CPU backend in
     float64 (REML/eigh/LMM are tiny next to the scan; the R/GEMMA stack they
     replace was double precision). The scan kernels pin their own dtypes and
-    devices, so the global x64 switch does not affect them."""
+    devices, so the global x64 switch does not affect them.
+
+    Fallback: sessions restricted to a TPU-only platform (JAX_PLATFORMS)
+    expose no CPU backend, and some accelerators lack f64 kernels — there
+    the stats run in f32 on the default device (REMLE delta still ~1e-3
+    relative; p-values are computed in log space, so ranking and threshold
+    decisions are unaffected)."""
+    import contextlib
     import jax
-    jax.config.update("jax_enable_x64", True)
-    cpu = jax.devices("cpu")[0]
-    return jax.default_device(cpu)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    stack = contextlib.ExitStack()
+    try:
+        # scoped x64: a GLOBAL jax_enable_x64 flip would leak i64 into the
+        # Pallas scan kernel's index maps, which Mosaic cannot legalize
+        from jax._src.config import enable_x64
+        stack.enter_context(enable_x64(True))
+    except ImportError:
+        pass
+    stack.enter_context(jax.default_device(cpu))
+    return stack
 
 
 def run_gwas(cfg: GWASConfig) -> GWASResult:
