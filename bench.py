@@ -69,8 +69,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         state = step_j(state, *batches[i % n_batches])
-    jax.block_until_ready(state.scores)
+    # host fetch: on remote backends block_until_ready alone can under-wait
+    checksum = float(np.asarray(state.scores).sum())
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     kmers_per_sec = rows * iters / dt
     print(json.dumps({
