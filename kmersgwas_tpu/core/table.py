@@ -26,6 +26,23 @@ def _pad_words32(n_samples: int) -> int:
     return ((n_samples + LANE_PAD - 1) // LANE_PAD) * (LANE_PAD // 32)
 
 
+_NATIVE_SQUEEZE = None
+
+
+def _native_squeeze_available() -> bool:
+    """True when the C++ squeeze/pack fast path is usable (cached probe)."""
+    global _NATIVE_SQUEEZE
+    if _NATIVE_SQUEEZE is None:
+        try:
+            from .. import native
+            native.load()
+            native._bind_squeeze(native.load())
+            _NATIVE_SQUEEZE = True
+        except Exception:
+            _NATIVE_SQUEEZE = False
+    return _NATIVE_SQUEEZE
+
+
 @dataclass
 class TableBatch:
     """One MAC-filtered batch of table rows, packed for the device."""
@@ -132,20 +149,33 @@ class KmersTableReader:
                 row_index=np.concatenate([b.row_index for b in pend]),
             )
 
+        use_native = _native_squeeze_available()
         chunk = max(1 << 16, min(batch_size, 1 << 21))
         for start, raw in self.iter_raw(chunk, start_row=start_row):
-            pc = self.masked_popcount(raw)
-            keep = (pc >= min_count) & (pc <= self.n_used - min_count)
+            if use_native:
+                from .. import native
+                kmers_all, packed_all, pc, keep = native.squeeze_pack(
+                    raw, self.file_col, self.n_used, self.w32, min_count)
+                pc = pc.astype(np.int64)
+            else:
+                pc = self.masked_popcount(raw)
+                keep = (pc >= min_count) & (pc <= self.n_used - min_count)
             if kmers_subset is not None and len(kmers_subset):
                 idx = np.searchsorted(kmers_subset, raw[:, 0])
                 idx_c = np.minimum(idx, len(kmers_subset) - 1)
-                keep &= kmers_subset[idx_c] == raw[:, 0]
+                keep = keep & (kmers_subset[idx_c] == raw[:, 0])
             kept = np.nonzero(keep)[0]
             if kept.size:
-                sub = raw[kept]
+                if use_native:
+                    packed = packed_all[kept]
+                    kk = kmers_all[kept]
+                else:
+                    sub = raw[kept]
+                    packed = self.pack_bits(self.squeeze_bits(sub))
+                    kk = sub[:, 0].copy()
                 pend.append(TableBatch(
-                    kmers=sub[:, 0].copy(),
-                    packed=self.pack_bits(self.squeeze_bits(sub)),
+                    kmers=kk,
+                    packed=packed,
                     popcnt=pc[kept].astype(np.float32),
                     row_offset=start,
                     row_index=(start + kept).astype(np.int64),

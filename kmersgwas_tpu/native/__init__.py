@@ -117,3 +117,47 @@ def build_table(list_paths, names, master_path, out_base, k: int) -> int:
         raise RuntimeError(f"kgt_build_table failed ({n})")
     formats.write_names(out_base, names)
     return n
+
+
+def _bind_squeeze(lib):
+    import numpy as _np
+    if getattr(lib, "_squeeze_bound", False):
+        return
+    lib.kgt_squeeze_pack.restype = ctypes.c_longlong
+    lib.kgt_squeeze_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_ulonglong), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_int, ctypes.c_int,
+        ctypes.c_ulonglong, ctypes.POINTER(ctypes.c_ulonglong),
+        ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_ubyte)]
+    lib._squeeze_bound = True
+
+
+def squeeze_pack(raw, file_col, n_used: int, w32: int, min_count: int):
+    """Native squeeze+pack of raw table rows.
+
+    raw: (R, 1+wf) uint64 contiguous; file_col: (n_used,) int64.
+    -> (kmers (R,), packed (R, w32) uint32, popcnt (R,) int32, keep (R,) bool)
+    """
+    import numpy as np
+    lib = load()
+    _bind_squeeze(lib)
+    raw = np.ascontiguousarray(raw, dtype=np.uint64)
+    file_col = np.ascontiguousarray(file_col, dtype=np.int64)
+    r = raw.shape[0]
+    wf = raw.shape[1] - 1
+    kmers = np.empty(r, dtype=np.uint64)
+    packed = np.empty((r, w32), dtype=np.uint32)
+    pop = np.empty(r, dtype=np.int32)
+    keep = np.empty(r, dtype=np.uint8)
+    rc = lib.kgt_squeeze_pack(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_ulonglong)), r, wf,
+        file_col.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n_used, w32, min_count,
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_ulonglong)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        pop.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc < 0:
+        raise RuntimeError("kgt_squeeze_pack failed")
+    return kmers, packed, pop, keep.astype(bool)

@@ -412,4 +412,43 @@ long long kgt_build_table(const char** list_paths, int n_samples,
   return (long long)n_rows;
 }
 
+// Squeeze + pack a chunk of raw table rows for the device.
+//
+// raw:      n_rows x (1 + wf) uint64 table rows (k-mer word first)
+// file_col: n_used column indices into the file's accession order
+// Outputs (caller-allocated):
+//   kmers_out  n_rows uint64
+//   packed_out n_rows x w32 uint32 (LSB-first, zero-padded lanes)
+//   pop_out    n_rows int32 popcount over used columns
+//   keep_out   n_rows uint8 two-tail MAC mask (min_count <= pc <= n-min_count)
+// Returns number of kept rows, or -1.
+long long kgt_squeeze_pack(const unsigned long long* raw, long long n_rows,
+                           int wf, const long long* file_col, int n_used,
+                           int w32, unsigned long long min_count,
+                           unsigned long long* kmers_out,
+                           unsigned int* packed_out, int* pop_out,
+                           unsigned char* keep_out) {
+  if (w32 * 32 < n_used) return -1;
+  long long kept = 0;
+  for (long long r = 0; r < n_rows; ++r) {
+    const unsigned long long* row = raw + r * (1 + wf);
+    unsigned int* out = packed_out + r * w32;
+    std::memset(out, 0, sizeof(unsigned int) * w32);
+    int pc = 0;
+    for (int c = 0; c < n_used; ++c) {
+      long long fc = file_col[c];
+      unsigned long long bit = (row[1 + (fc >> 6)] >> (fc & 63)) & 1ull;
+      pc += (int)bit;
+      out[c >> 5] |= (unsigned int)bit << (c & 31);
+    }
+    kmers_out[r] = row[0];
+    pop_out[r] = pc;
+    unsigned char ok = (unsigned long long)pc >= min_count &&
+                       (unsigned long long)pc <= (unsigned long long)n_used - min_count;
+    keep_out[r] = ok;
+    kept += ok;
+  }
+  return kept;
+}
+
 }  // extern "C"

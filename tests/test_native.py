@@ -119,3 +119,48 @@ def test_native_union_and_table_match_numpy(tmp_path):
     tablebuild.build_table(paths, names, m_np, t_np, K)
     assert open(t_native + ".table", "rb").read() == open(t_np + ".table", "rb").read()
     assert open(t_native + ".names").read() == open(t_np + ".names").read()
+
+
+def test_native_squeeze_pack_matches_numpy(tmp_path):
+    from kmersgwas_tpu import native as nat
+    from kmersgwas_tpu.core import table as table_mod
+    rng = np.random.default_rng(9)
+    # synthetic raw rows: 70 accessions -> wf=2 file words
+    n_file = 70
+    wf = 2
+    r = 500
+    raw = rng.integers(0, 1 << 63, size=(r, 1 + wf), dtype=np.uint64)
+    # used subset: shuffled 40 columns
+    cols = rng.permutation(n_file)[:40].astype(np.int64)
+    n_used, w32 = 40, 4
+    kk, packed, pop, keep = nat.squeeze_pack(raw, cols, n_used, w32, 3)
+    # numpy oracle
+    bits = ((raw[:, (cols // 64) + 1] >> (cols % 64).astype(np.uint64))
+            & np.uint64(1)).astype(np.uint8)
+    pc = bits.sum(axis=1)
+    padded = np.zeros((r, w32 * 32), np.uint8)
+    padded[:, :n_used] = bits
+    expect_packed = np.packbits(padded, axis=1, bitorder="little").view("<u4")
+    assert np.array_equal(kk, raw[:, 0])
+    assert np.array_equal(packed, expect_packed)
+    assert np.array_equal(pop, pc.astype(np.int32))
+    assert np.array_equal(keep, (pc >= 3) & (pc <= n_used - 3))
+
+
+def test_reader_native_path_equals_numpy(tmp_path, monkeypatch):
+    from kmersgwas_tpu.core import table as table_mod
+    import test_formats_ingest as tfi
+    fx = tfi.full_pipeline_fixture(tmp_path)
+    sub = [fx["names"][i] for i in [5, 1, 9, 3, 7]]
+    rd = table_mod.KmersTableReader(fx["out_base"], names_to_use=sub)
+    # force both paths over the same table and compare
+    monkeypatch.setattr(table_mod, "_NATIVE_SQUEEZE", True)
+    native_batches = list(rd.iter_batches(batch_size=41, min_count=1))
+    monkeypatch.setattr(table_mod, "_NATIVE_SQUEEZE", False)
+    numpy_batches = list(rd.iter_batches(batch_size=41, min_count=1))
+    assert len(native_batches) == len(numpy_batches)
+    for a, b in zip(native_batches, numpy_batches):
+        assert np.array_equal(a.kmers, b.kmers)
+        assert np.array_equal(a.packed, b.packed)
+        assert np.array_equal(a.popcnt, b.popcnt)
+        assert np.array_equal(a.row_index, b.row_index)
