@@ -53,7 +53,7 @@ def main():
     import functools
     step_j = functools.partial(scan_step, y_padded=yp, y_sum=ysum,
                                n_used=n_used, min_count=min_count,
-                               kernel="pallas", cand_k=1024)
+                               kernel="pallas", cand_k=2048)
     import sys
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()

@@ -1,0 +1,69 @@
+"""True multi-process distributed test: two jax.distributed processes, each
+owning half the k-mer rows, must reproduce the single-process scan."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_sharded_scan(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), str(port),
+                               str(tmp_path)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    z = np.load(tmp_path / "result.npz")
+    got_scores, got_rows = z["scores"], z["rows"]
+
+    # single-process reference
+    import jax.numpy as jnp
+    from kmersgwas_tpu.ops import bitplanes, score, topk
+    rng = np.random.default_rng(0)
+    r, n, p_, k = 1024, 30, 3, 16
+    n_pad = 128
+    bits = rng.integers(0, 2, size=(r, n)).astype(np.uint8)
+    padded = np.zeros((r, n_pad), dtype=np.uint8)
+    padded[:, :n] = bits
+    packed = bitplanes.pack_bits_np(padded)
+    popcnt = bits.sum(axis=1).astype(np.float32)
+    y = rng.normal(size=(n, p_)).astype(np.float32)
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    scores = score.score_batch(jnp.asarray(packed), jnp.asarray(popcnt), yp,
+                               ysum, n_used=n, min_count=1)
+    scores = jnp.where(jnp.asarray(popcnt)[:, None] > 0, scores, -jnp.inf)
+    lo, hi = topk.encode_rows(np.arange(r))
+    st = topk.update(topk.init_state(p_, k), scores, jnp.asarray(lo),
+                     jnp.asarray(hi))
+    ref = topk.finalize(st)
+    for j in range(p_):
+        np.testing.assert_allclose(np.sort(got_scores[j]), np.sort(ref[j][0]),
+                                   rtol=1e-5)
+        assert set(got_rows[j].tolist()) == set(ref[j][1].tolist())
