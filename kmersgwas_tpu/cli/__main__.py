@@ -255,6 +255,36 @@ def _add_filter_kmers(sub):
     p.set_defaults(func=run)
 
 
+def _add_kmc(sub):
+    p = sub.add_parser("kmc-import",
+                       help="convert a KMC1 .kmc_pre/.kmc_suf database to a "
+                            "binary kmer+count file (experimental format support)")
+    p.add_argument("kmc_base")
+    p.add_argument("-o", "--output", required=True)
+
+    def run(a):
+        from ..ingest import kmc
+        kmers, counts, k = kmc.read_kmc(a.kmc_base)
+        rec = np.empty(len(kmers), dtype=[("k", "<u8"), ("c", "<u8")])
+        rec["k"], rec["c"] = kmers, counts
+        rec.tofile(a.output)
+        print(f"{len(kmers)} k-mers (k={k})")
+    p.set_defaults(func=run)
+
+    pe = sub.add_parser("kmc-export",
+                        help="write a count file as a KMC1-format database")
+    pe.add_argument("counts_file")
+    pe.add_argument("-k", "--kmer_len", type=int, required=True)
+    pe.add_argument("-o", "--output_base", required=True)
+
+    def run_e(a):
+        from ..ingest import kmc
+        kk, cc = _read_counts(a.counts_file)
+        kmc.write_kmc1(a.output_base, kk, cc, a.kmer_len)
+        print(f"wrote {len(kk)} k-mers")
+    pe.set_defaults(func=run_e)
+
+
 def _add_histogram(sub):
     p = sub.add_parser("histogram", help="k-mer count histogram (histogram_KMC_kmers_counts)")
     p.add_argument("counts_file", help="binary kmer+count file from `count`")
@@ -276,7 +306,7 @@ def main(argv=None):
     for add in (_add_gwas, _add_count, _add_strand_merge, _add_list_kmers,
                 _add_build_table, _add_associate, _add_kinship,
                 _add_kinship_bed, _add_associate_snps, _add_table_to_bed,
-                _add_filter_kmers, _add_histogram):
+                _add_filter_kmers, _add_kmc, _add_histogram):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

@@ -243,3 +243,62 @@ def test_phenotype_tsv_roundtrip(tmp_path):
     t2 = formats.read_phenotypes(p)
     assert t2.names == t.names and t2.accessions == t.accessions
     assert np.allclose(t2.values, t.values)
+
+
+def test_kmc_database_roundtrip(tmp_path):
+    from kmersgwas_tpu.ingest import kmc
+    rng = np.random.default_rng(0)
+    k = 21
+    kmers = np.unique(rng.integers(0, 1 << (2 * k), size=5000, dtype=np.uint64))
+    counts = rng.integers(1, 1000, size=len(kmers)).astype(np.uint64)
+    base = str(tmp_path / "db")
+    kmc.write_kmc1(base, kmers, counts, k)
+    k2, c2, klen = kmc.read_kmc(base)
+    assert klen == k
+    assert np.array_equal(k2, kmers)
+    assert np.array_equal(c2, counts)
+
+
+def test_kmc_roundtrip_edge_cases(tmp_path):
+    from kmersgwas_tpu.ingest import kmc
+    # suffix length not a multiple of 4 symbols; tiny prefix table;
+    # counter values crossing byte boundaries
+    k = 15
+    kmers = np.array([0, 1, (1 << (2 * k)) - 1, 12345, 678910], dtype=np.uint64)
+    kmers = np.unique(kmers)
+    counts = np.array([1, 255, 256, 65536, 2**31], dtype=np.uint64)[: len(kmers)]
+    base = str(tmp_path / "edge")
+    kmc.write_kmc1(base, kmers, counts, k, lut_prefix_len=3, counter_size=4)
+    k2, c2, klen = kmc.read_kmc(base)
+    assert np.array_equal(k2, np.sort(kmers))
+    order = np.argsort(kmers)
+    assert np.array_equal(c2, counts[order])
+
+    # unsorted input is sorted on write
+    sh = np.random.default_rng(1).permutation(len(kmers))
+    kmc.write_kmc1(base, kmers[sh], counts[sh], k, lut_prefix_len=2)
+    k3, c3, _ = kmc.read_kmc(base)
+    assert np.array_equal(k3, np.sort(kmers))
+    assert np.array_equal(c3, counts[order])
+
+
+def test_kmc_import_feeds_strand_merge(tmp_path):
+    """KMC import -> strand merge path: databases written in KMC format are
+    usable exactly like native count files."""
+    from kmersgwas_tpu.ingest import kmc, strand
+    rng = np.random.default_rng(2)
+    k = 15
+    raw = rng.integers(0, 1 << (2 * k), size=2000, dtype=np.uint64)
+    canon = np.unique(codec.canonize(raw, k))
+    # orientation evidence: every canonical k-mer observed in some direction
+    flip = rng.random(len(canon)) < 0.5
+    nonc = np.where(flip, codec.reverse_complement(canon, k), canon)
+    kmc.write_kmc1(str(tmp_path / "c"), canon,
+                   np.full(len(canon), 2, np.uint64), k)
+    kmc.write_kmc1(str(tmp_path / "n"), np.sort(nonc),
+                   np.ones(len(nonc), np.uint64), k)
+    ck, _, _ = kmc.read_kmc(str(tmp_path / "c"))
+    nk, _, _ = kmc.read_kmc(str(tmp_path / "n"))
+    kk, ff = strand.strand_flags_from_counts(ck, nk, k)
+    assert np.array_equal(kk, canon)
+    assert set(ff.tolist()) <= {1, 2, 3}
