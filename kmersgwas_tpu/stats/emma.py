@@ -121,6 +121,79 @@ def heritability(res: REMLEResult) -> jax.Array:
     return res.vg / (res.vg + res.ve)
 
 
+# ---------------------------------------------------------------------------
+# Full maximum likelihood (emma.MLE, emma.R:176-289) — not used by the
+# pipeline (which is REML + the per-variant ML-LRT in stats/lmm.py) but part
+# of the EMMA API surface.
+# ---------------------------------------------------------------------------
+
+def _ml_LL(logdelta, lam_R, etasq, xi):
+    n = xi.shape[0]
+    delta = jnp.exp(logdelta)
+    return 0.5 * (n * (jnp.log(n / (2 * jnp.pi)) - 1.0
+                       - jnp.log(jnp.sum(etasq / (lam_R + delta))))
+                  - jnp.sum(jnp.log(xi + delta)))
+
+
+def _ml_dLL(logdelta, lam_R, etasq, xi):
+    n = xi.shape[0]
+    delta = jnp.exp(logdelta)
+    ld = lam_R + delta
+    return 0.5 * (n * jnp.sum(etasq / (ld * ld)) / jnp.sum(etasq / ld)
+                  - jnp.sum(1.0 / (xi + delta)))
+
+
+@functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
+def mle_from_eigen(etas, lam_R, xi, llim: float = -10.0, ulim: float = 10.0,
+                   esp: float = 1e-10, ngrids: int = 100,
+                   n_bisect: int = 60) -> REMLEResult:
+    """emma.MLE search given etas, restricted eigenvalues lam_R and the
+    kinship eigenvalues xi (emma.R:176-244 grid + uniroot logic)."""
+    n = xi.shape[0]
+    etasq = etas * etas
+    logdelta = jnp.linspace(llim, ulim, ngrids + 1)
+    dll = jax.vmap(lambda g: _ml_dLL(g, lam_R, etasq, xi))(logdelta)
+    lo0, hi0 = logdelta[:-1], logdelta[1:]
+    cell_ok = (dll[:-1] * dll[1:] < -esp * esp) & (dll[:-1] > 0) & (dll[1:] < 0)
+
+    def bisect(lo, hi):
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            d = _ml_dLL(mid, lam_R, etasq, xi)
+            return jnp.where(d > 0, mid, lo), jnp.where(d > 0, hi, mid)
+        lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    roots = jax.vmap(bisect)(lo0, hi0)
+    root_ll = jax.vmap(lambda g: _ml_LL(g, lam_R, etasq, xi))(roots)
+    cand_logdelta = jnp.concatenate([jnp.array([llim, ulim]), roots])
+    cand_ll = jnp.concatenate([
+        jnp.array([_ml_LL(llim, lam_R, etasq, xi),
+                   _ml_LL(ulim, lam_R, etasq, xi)]), root_ll])
+    cand_ok = jnp.concatenate([
+        jnp.array([dll[0] < esp, dll[-1] > -esp]), cell_ok])
+    masked = jnp.where(cand_ok, cand_ll, -jnp.inf)
+    best = jnp.argmax(masked)
+    maxdelta = jnp.exp(cand_logdelta[best])
+    vg = jnp.sum(etasq / (lam_R + maxdelta)) / n
+    return REMLEResult(reml_ll=masked[best], delta=maxdelta, vg=vg,
+                       ve=vg * maxdelta)
+
+
+def mle(y, K, X=None) -> REMLEResult:
+    """emma.MLE(y, X, K): full-ML variance components."""
+    y = jnp.asarray(y, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    K = jnp.asarray(K, y.dtype)
+    n = y.shape[0]
+    if X is None:
+        X = jnp.ones((n, 1), y.dtype)
+    lam_R, vec = eigen_R(K, X)
+    xi = jnp.linalg.eigvalsh(K)[::-1]
+    etas = vec.T @ y
+    return mle_from_eigen(etas, lam_R, xi)
+
+
 def is_positive_semi_definite(K, tol: float = 1e-8) -> bool:
     """PSD gate on the kinship matrix (transform_and_permute_phenotypes.R:54-57)."""
     w = jnp.linalg.eigvalsh(jnp.asarray(K))

@@ -209,3 +209,51 @@ def test_permutation_threshold_order_statistic():
     # sorted desc: 100, 99, ... threshold 5% -> index int(100*0.05)-1 = 4 -> 96
     assert transform.permutation_threshold(best, 100, 0.05) == 96.0
     assert transform.permutation_threshold(best, 100, 0.10) == 91.0
+
+
+def test_mle_matches_reference_transcription():
+    from scipy.optimize import brentq
+    rng = np.random.default_rng(8)
+    K = make_kinship(rng, 50)
+    y = simulate_phenotype(rng, K, 1.5, 0.8)
+    y = y - y.mean()
+    got = emma.mle(y, K)
+
+    # literal transcription of emma.MLE (emma.R:176-244)
+    n = len(y)
+    X = np.ones((n, 1))
+    S = np.eye(n) - X @ np.linalg.solve(X.T @ X, X.T)
+    wR, vR = np.linalg.eigh(S @ (K + np.eye(n)) @ S)
+    wR = wR[::-1][: n - 1] - 1.0
+    vR = vR[:, ::-1][:, : n - 1]
+    xi = np.linalg.eigvalsh(K)[::-1]
+    etas = vR.T @ y
+    etasq = etas**2
+
+    def LL(g):
+        d = np.exp(g)
+        return 0.5 * (n * (np.log(n / (2 * np.pi)) - 1
+                           - np.log(np.sum(etasq / (wR + d))))
+                      - np.sum(np.log(xi + d)))
+
+    def dLL(g):
+        d = np.exp(g)
+        ld = wR + d
+        return 0.5 * (n * np.sum(etasq / ld**2) / np.sum(etasq / ld)
+                      - np.sum(1.0 / (xi + d)))
+
+    grid = np.linspace(-10, 10, 101)
+    dll = np.array([dLL(g) for g in grid])
+    cands = []
+    if dll[0] < 1e-10:
+        cands.append(-10.0)
+    if dll[-1] > -1e-10:
+        cands.append(10.0)
+    for i in range(100):
+        if dll[i] * dll[i + 1] < -1e-20 and dll[i] > 0 and dll[i + 1] < 0:
+            cands.append(brentq(dLL, grid[i], grid[i + 1]))
+    best = cands[int(np.argmax([LL(c) for c in cands]))]
+    delta = np.exp(best)
+    vg = np.sum(etasq / (wR + delta)) / n
+    assert np.isclose(float(got.delta), delta, rtol=1e-3)
+    assert np.isclose(float(got.vg), vg, rtol=1e-3)
