@@ -49,15 +49,15 @@ def main():
         batches.append((jax.device_put(packed), jax.device_put(popcnt),
                         jax.device_put(lo), jax.device_put(hi)))
 
-    from kmersgwas_tpu.ops.scanstep import scan_step
+    from kmersgwas_tpu.ops import scanstep as ss
     import functools
-    step_j = functools.partial(scan_step, y_padded=yp, y_sum=ysum,
+    step_j = functools.partial(ss.scan_step_buffered, y_padded=yp, y_sum=ysum,
                                n_used=n_used, min_count=min_count,
-                               kernel="pallas", cand_k=2048)
+                               kernel="pallas", cand_c=512, cand_k=2048)
     import sys
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    state = topk_ops.init_state(p, k)
+    state = ss.init_buffered_state(p, k, buf_cap=512 * 8)
     state = step_j(state, *batches[0])
     jax.block_until_ready(state.scores)
     print(f"compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)

@@ -133,6 +133,85 @@ def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
     return out[:p]
 
 
+def _score_t_bmax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref,
+                         out_ref, bmax_ref, *, n_used: int, min_count: int,
+                         block: int):
+    w = packed_ref[...]                                   # (W32, TR) uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
+    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    n = jnp.float32(n_used)
+    n1 = pop_ref[...]                                     # (1, TR)
+    r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= jnp.float32(min_count)) & ((n - n1) >= jnp.float32(min_count))
+    score = jnp.where(ok, score, 0.0)
+    score = jnp.where(n1 > 0, score, -jnp.inf)            # popcnt==0 = padding
+    out_ref[...] = score
+    # strided block maxima: group b of this tile = lanes {b + nb*j}, nb =
+    # tile_rows/block. Folding `block` contiguous nb-lane slices is pure
+    # elementwise vreg max — no lane-axis reshape (which Mosaic rejects).
+    tr = score.shape[1]
+    nb = tr // block
+    bm = score[:, :nb]
+    for a in range(1, block):
+        bm = jnp.maximum(bm, score[:, a * nb:(a + 1) * nb])
+    bmax_ref[...] = bm
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count",
+                                             "tile_rows", "block"))
+def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
+                              n_used: int, min_count: int,
+                              tile_rows: int = 2048, block: int = 16):
+    """Like score_batch_t_pallas, but also emits per-`block`-lane score maxima
+    (P, R/block) from VMEM — the level-0 reduction of the blocked top-k fused
+    into the score kernel, so extraction never re-reads the (P, R) scores.
+
+    Block membership is STRIDED within each tile: global block g covers lanes
+    {tile*tile_rows + (g % nb) + nb*j : j < block}, nb = tile_rows/block,
+    tile = g // nb — the layout ops/topk.strided_top_k_from_bmax consumes."""
+    rows, w32 = packed.shape
+    n_pad, p = y_padded.shape
+    assert n_pad == w32 * 32 and rows % tile_rows == 0 and tile_rows % block == 0
+    p_pad = ((p + 7) // 8) * 8
+    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
+    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
+    packed_t = packed.T                                   # (W32, R)
+    pop2 = popcnt[None, :]                                # (1, R)
+    grid = (rows // tile_rows,)
+    sc, bmax = pl.pallas_call(
+        functools.partial(_score_t_bmax_kernel, n_used=n_used,
+                          min_count=min_count, block=block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_pad, tile_rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, tile_rows // block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad, rows), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad, rows // block), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * n_pad * p_pad,
+            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4
+            + rows * p_pad * 4 + rows // block * p_pad * 4,
+            transcendentals=0,
+        ),
+    )(packed_t, pop2, yt, ysum)
+    return sc[:p], bmax[:p]
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------

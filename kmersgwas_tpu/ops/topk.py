@@ -86,6 +86,54 @@ def blocked_top_k(sc: jax.Array, k: int, block: int = 16):
     return v, jnp.take_along_axis(cand_idx, j, axis=1)
 
 
+def strided_top_k_from_bmax(sc: jax.Array, bmax: jax.Array, k: int, *,
+                            tile_rows: int):
+    """Top-k given precomputed STRIDED block maxima (fused into the score
+    kernel, score.score_batch_t_pallas_bmax) — extraction never re-reads the
+    (P, R) score matrix, only k gathered blocks per column.
+
+    Layout: within each tile of `tile_rows` lanes, block g holds lanes
+    {tile*tile_rows + (g % nb) + nb*j}, nb = tile_rows/block. Strided blocks
+    break the contiguous-block ordering that made blocked_top_k tie-exact, so
+    this returns (values, indices, exact): `exact` is True iff the k-th kept
+    value STRICTLY exceeds everything excluded (the (k+1)-th gathered
+    candidate and the (k+1)-th block maximum) — then the selection equals the
+    stable flat top-k, and a final 2-key lex sort (value desc, index asc)
+    restores the heap's earliest-row order among kept equal values. Callers
+    must branch to an exact path when `exact` is False.
+
+    sc: (P, R), bmax: (P, R/block), R % tile_rows == 0.
+    """
+    p, r = sc.shape
+    nbt = bmax.shape[1]
+    assert r % nbt == 0
+    block = r // nbt
+    assert tile_rows % block == 0 and r % tile_rows == 0
+    nb_tile = tile_rows // block
+    k = min(k, r)
+    if nbt <= k + 1 or k + 1 >= r:
+        v, i = jax.lax.top_k(sc, k)
+        return v, i, jnp.bool_(True)
+    # k+1 blocks: the extra one bounds everything unselected
+    _, bi = blocked_top_k(bmax, k + 1, block=16)          # (P, k+1) block ids
+    bsel, bnext = bi[:, :k], bi[:, k]
+    m_next = jnp.take_along_axis(bmax, bnext[:, None], axis=1)[:, 0]  # (P,)
+    tile = bsel // nb_tile
+    b_in = bsel % nb_tile
+    lanes = (tile[:, :, None] * tile_rows + b_in[:, :, None]
+             + nb_tile * jnp.arange(block, dtype=bsel.dtype))  # (P, k, block)
+    cand_idx = lanes.reshape(p, k * block)
+    cand = jnp.take_along_axis(sc, cand_idx, axis=1)
+    vv, jj = jax.lax.top_k(cand, k + 1)                   # +1: boundary probe
+    v, j = vv[:, :k], jj[:, :k]
+    idx = jnp.take_along_axis(cand_idx, j, axis=1)
+    # exact iff a strict gap separates kept from all excluded
+    exact = jnp.all((v[:, -1] > vv[:, k]) & (v[:, -1] > m_next))
+    # restore earliest-index order among kept equal values
+    neg_s, idx_s = jax.lax.sort((-v, idx), dimension=1, num_keys=2)
+    return -neg_s, idx_s, exact
+
+
 @jax.jit
 def update(state: TopKState, batch_scores: jax.Array,
            row_lo: jax.Array, row_hi: jax.Array) -> TopKState:

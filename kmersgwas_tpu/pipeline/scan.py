@@ -121,27 +121,35 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     if min_count < 1:
         raise ValueError("min_count must be >= 1 (zero-popcount marks padding)")
     yp, ysum = score_ops.prepare_phenotypes(np.asarray(pheno_values, np.float32), n_pad)
-    state = topk_ops.init_state(p, k_eff)
     patterns = _PatternCounter() if count_patterns else None
 
-    from ..ops.scanstep import scan_step
+    from ..ops import scanstep as ss
     from ..utils import StageTimer, pick_kernel
     from . import checkpoint as ckpt
     kernel = pick_kernel(use_pallas)
     n_tested = 0
     start_row = 0
+    resumed_plain = None
     if checkpoint_path:
         resumed = ckpt.load_scan_state(checkpoint_path)
         if resumed is not None:
-            state, start_row, n_tested = resumed
+            resumed_plain, start_row, n_tested = resumed
     # fixed device shape: pad every batch to batch_size (rounded up for the
     # pallas tile) so jit compiles exactly one program; padding rows carry
     # popcnt == 0 and score -inf inside the step
     pad_to = (((batch_size + 2047) // 2048) * 2048 if kernel == "pallas"
               else batch_size)
 
-    # candidate cap for the fast merge path (exact, with cond fallback)
-    cand_k = max(256, k_eff // 8) if k_eff > 512 else None
+    # buffered deferred-merge parameters: per-batch candidate width, wide
+    # extraction for flush batches, buffer capacity (flush every 8 batches)
+    cand_c = min(512, k_eff, pad_to)
+    cand_k = min(max(cand_c, k_eff // 8), k_eff, pad_to)
+    state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 8)
+    if resumed_plain is not None:
+        state = state._replace(scores=resumed_plain.scores,
+                               row_lo=resumed_plain.row_lo,
+                               row_hi=resumed_plain.row_hi,
+                               thresh=resumed_plain.scores[:, -1])
 
     if dtable_cache:
         from ..core import dtable as dt_mod
@@ -186,19 +194,21 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         n_tested += r
         if pats is not None:
             patterns.add(pats)
-        state = scan_step(state, jnp.asarray(packed), jnp.asarray(popcnt),
-                          jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
-                          n_used=n_used, min_count=min_count, kernel=kernel,
-                          cand_k=cand_k)
+        state = ss.scan_step_buffered(
+            state, jnp.asarray(packed), jnp.asarray(popcnt),
+            jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
+            n_used=n_used, min_count=min_count, kernel=kernel,
+            cand_c=cand_c, cand_k=cand_k)
         batch_i += 1
         if checkpoint_path and not dtable_cache and batch_i % checkpoint_every == 0:
-            ckpt.save_scan_state(checkpoint_path, state, last_row + 1, n_tested)
+            ckpt.save_scan_state(checkpoint_path, ss.flush_buffered(state),
+                                 last_row + 1, n_tested)
         timer.add(r)
         if progress is not None:
             progress(r)
     timer.done()
 
-    per_pheno = topk_ops.finalize(state)
+    per_pheno = topk_ops.finalize(ss.flush_buffered(state))
 
     # resolve winner rows -> k-mer codes + packed PA (random access, pass 2)
     all_rows = np.unique(np.concatenate([rw for _, rw in per_pheno])
