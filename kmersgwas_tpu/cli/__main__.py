@@ -30,6 +30,14 @@ def _add_gwas(sub):
     p.add_argument("--dont_run_on_kmers", action="store_true")
     p.add_argument("--dtable_cache", default=None,
                    help="path for the device-native packed table cache")
+    p.add_argument("--kinship_snps", action="store_true",
+                   help="use kinship from the SNP matrix (requires --snp_matrix)")
+    p.add_argument("--kmers_for_no_perm_phenotype", type=int, default=None,
+                   dest="n_extra_phenotype_kmers",
+                   help="heap size override for the real (non-permuted) phenotype")
+    p.add_argument("--dont_remove_intermediates", action="store_true")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the scan over this many devices")
 
     def run(a):
         from ..pipeline.gwas import GWASConfig, run_gwas
@@ -43,11 +51,21 @@ def _add_gwas(sub):
             run_kmers=not a.dont_run_on_kmers, snps_matrix=a.snp_matrix,
             run_snps=("one_step" if a.run_on_snps_one_step else
                       "two_steps" if a.run_on_snps_two_steps else None),
-            n_snps=a.snps_number, dtable_cache=a.dtable_cache))
+            n_snps=a.snps_number, dtable_cache=a.dtable_cache,
+            kinship_snps=a.kinship_snps,
+            n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
+            remove_intermediates=not a.dont_remove_intermediates,
+            n_devices=a.devices))
         th5 = res.thresholds.get("5per")
         print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "
               f"pass_5per={len(res.pass_5per)} tested={res.n_tested}")
     p.set_defaults(func=run)
+
+
+def _native_or_none():
+    """The C++ ingest library, or None to use the NumPy route."""
+    from .. import native
+    return native if native.available() else None
 
 
 def _add_count(sub):
@@ -56,16 +74,24 @@ def _add_count(sub):
     p.add_argument("-o", "--output", required=True, help="binary kmer+count output")
     p.add_argument("--canonize", action="store_true")
     p.add_argument("--min_count", type=int, default=1)
+    p.add_argument("--no-native", action="store_true",
+                   help="force the NumPy ingest path")
     p.add_argument("reads", nargs="+")
 
     def run(a):
-        from ..ingest import counter
-        kmers, counts = counter.count_kmers_in_files(
-            a.reads, a.kmer_len, canonize=a.canonize, min_count=a.min_count)
-        rec = np.empty(len(kmers), dtype=[("k", "<u8"), ("c", "<u8")])
-        rec["k"], rec["c"] = kmers, counts
-        rec.tofile(a.output)
-        print(f"{len(kmers)} distinct k-mers")
+        native = None if a.no_native else _native_or_none()
+        if native is not None:
+            n = native.count(a.reads, a.kmer_len, a.canonize, a.min_count,
+                             a.output)
+        else:
+            from ..ingest import counter
+            kmers, counts = counter.count_kmers_in_files(
+                a.reads, a.kmer_len, canonize=a.canonize, min_count=a.min_count)
+            rec = np.empty(len(kmers), dtype=[("k", "<u8"), ("c", "<u8")])
+            rec["k"], rec["c"] = kmers, counts
+            rec.tofile(a.output)
+            n = len(kmers)
+        print(f"{n} distinct k-mers")
     p.set_defaults(func=run)
 
 
@@ -82,13 +108,20 @@ def _add_strand_merge(sub):
     p.add_argument("-n", "--non_canonized", required=True)
     p.add_argument("-k", "--kmer_len", type=int, required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--no-native", action="store_true")
 
     def run(a):
-        from ..ingest import strand
-        ck, _ = _read_counts(a.canonized)
-        nk, _ = _read_counts(a.non_canonized)
-        strand.write_strand_list(a.output, ck, nk, a.kmer_len)
-        print(f"{len(ck)} k-mers written")
+        native = None if a.no_native else _native_or_none()
+        if native is not None:
+            n = native.strand_merge(a.canonized, a.non_canonized,
+                                    a.kmer_len, a.output)
+        else:
+            from ..ingest import strand
+            ck, _ = _read_counts(a.canonized)
+            nk, _ = _read_counts(a.non_canonized)
+            strand.write_strand_list(a.output, ck, nk, a.kmer_len)
+            n = len(ck)
+        print(f"{n} k-mers written")
     p.set_defaults(func=run)
 
 
@@ -102,13 +135,20 @@ def _add_list_kmers(sub):
     p.add_argument("--mac", type=int, required=True)
     p.add_argument("-p", "--min_strand_percent", type=float, required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--no-native", action="store_true")
 
     def run(a):
-        from ..ingest import union
         paths = [ln.split()[0] for ln in open(a.list_kmers_files)
                  if ln.strip()]
-        n, _ = union.build_master_list(paths, a.output, a.kmer_len,
-                                       a.mac, a.min_strand_percent)
+        native = None if a.no_native else _native_or_none()
+        if native is not None:
+            n = native.list_union(paths, a.kmer_len, a.mac,
+                                  a.min_strand_percent, a.output,
+                                  write_stats=True)
+        else:
+            from ..ingest import union
+            n, _ = union.build_master_list(paths, a.output, a.kmer_len,
+                                           a.mac, a.min_strand_percent)
         print(f"passed kmers:\t{n}")
     p.set_defaults(func=run)
 
@@ -120,13 +160,20 @@ def _add_build_table(sub):
     p.add_argument("-k", "--kmer_len", type=int, required=True)
     p.add_argument("-a", "--all_kmers", required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--no-native", action="store_true")
 
     def run(a):
-        from ..ingest import tablebuild
         pairs = [ln.split() for ln in open(a.list_kmers_files) if ln.strip()]
         paths = [x[0] for x in pairs]
         names = [x[1] if len(x) > 1 else x[0] for x in pairs]
-        n = tablebuild.build_table(paths, names, a.all_kmers, a.output, a.kmer_len)
+        native = None if a.no_native else _native_or_none()
+        if native is not None:
+            n = native.build_table(paths, names, a.all_kmers, a.output,
+                                   a.kmer_len)
+        else:
+            from ..ingest import tablebuild
+            n = tablebuild.build_table(paths, names, a.all_kmers, a.output,
+                                       a.kmer_len)
         print(f"rows: {n}")
     p.set_defaults(func=run)
 
@@ -145,16 +192,25 @@ def _add_associate(sub):
     p.add_argument("--pattern_counter", action="store_true")
     p.add_argument("--kmers_scores", action="store_true")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--first_phenotype_best", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the scan over this many devices")
 
     def run(a):
         from ..core import formats
         from ..pipeline import scan
+        mesh = None
+        if a.devices and a.devices > 1:
+            import jax
+            from ..parallel import sharding as shard_mod
+            mesh = shard_mod.make_mesh(jax.devices()[:a.devices])
         pheno = formats.read_phenotypes(a.phenotype_file)
         res = scan.associate(a.kmers_table, pheno.accessions, pheno.values,
                              pheno.names, kmer_len=a.kmer_len, n_top=a.best,
                              maf=a.maf, mac=a.mac, batch_size=a.batch_size,
                              count_patterns=a.pattern_counter,
-                             use_pallas=True if a.pallas else "auto")
+                             first_phenotype_top=a.first_phenotype_best,
+                             use_pallas=True if a.pallas else "auto", mesh=mesh)
         base = f"{a.output_dir}/{a.base_name}"
         if a.kmers_scores:
             for j, name in enumerate(res.names):

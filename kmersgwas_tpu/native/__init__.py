@@ -52,6 +52,11 @@ def load(build_if_missing: bool = True):
                                    ctypes.c_int, ctypes.c_uint,
                                    ctypes.c_ulonglong, ctypes.c_double,
                                    ctypes.c_char_p]
+    lib.kgt_list_union_stats.restype = ctypes.c_longlong
+    lib.kgt_list_union_stats.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                         ctypes.c_int, ctypes.c_uint,
+                                         ctypes.c_ulonglong, ctypes.c_double,
+                                         ctypes.c_char_p, ctypes.c_int]
     lib.kgt_build_table.restype = ctypes.c_longlong
     lib.kgt_build_table.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                     ctypes.c_int, ctypes.c_char_p,
@@ -98,10 +103,12 @@ def strand_merge(canon_path, non_canon_path, k: int, out_path) -> int:
     return n
 
 
-def list_union(paths, k: int, mac: int, min_strand_frac: float, out_path) -> int:
+def list_union(paths, k: int, mac: int, min_strand_frac: float, out_path,
+               write_stats: bool = False) -> int:
     lib = load()
-    n = lib.kgt_list_union(_paths_array(paths), len(paths), k, mac,
-                           min_strand_frac, str(out_path).encode())
+    n = lib.kgt_list_union_stats(_paths_array(paths), len(paths), k, mac,
+                                 min_strand_frac, str(out_path).encode(),
+                                 1 if write_stats else 0)
     if n < 0:
         raise RuntimeError(f"kgt_list_union failed ({n})")
     return n

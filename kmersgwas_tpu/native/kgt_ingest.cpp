@@ -187,6 +187,68 @@ struct KCount {
   uint64_t count;
 };
 
+// Buffered forward cursor over a sorted (by low 62 bits) uint64 list file.
+// Memory stays bounded at kBufWords regardless of file size — the native
+// analogue of the reference's load_kmers_upto_x streaming
+// (src/kmers_single_database.cpp:158-177).
+class ListCursor {
+ public:
+  static constexpr size_t kBufWords = 1 << 20;  // 8 MB per open file
+
+  bool open(const char* path) {
+    f_ = std::fopen(path, "rb");
+    return f_ != nullptr;
+  }
+  ~ListCursor() {
+    if (f_) std::fclose(f_);
+  }
+  bool eof_and_empty() const { return eof_ && pos_ >= buf_.size(); }
+  // current element, or false when exhausted
+  bool peek(uint64_t& out) {
+    if (pos_ >= buf_.size() && !refill()) return false;
+    out = buf_[pos_];
+    return true;
+  }
+  void advance() { ++pos_; }
+
+ private:
+  bool refill() {
+    if (eof_) return false;
+    buf_.resize(kBufWords);
+    size_t n = std::fread(buf_.data(), sizeof(uint64_t), kBufWords, f_);
+    buf_.resize(n);
+    pos_ = 0;
+    if (n < kBufWords) eof_ = true;
+    return n > 0;
+  }
+  FILE* f_ = nullptr;
+  std::vector<uint64_t> buf_;
+  size_t pos_ = 0;
+  bool eof_ = false;
+};
+
+// Buffered writer: batches fwrite calls for word-at-a-time producers.
+class WordWriter {
+ public:
+  explicit WordWriter(FILE* f) : f_(f) { buf_.reserve(kBufWords); }
+  ~WordWriter() { flush(); }
+  void put(uint64_t w) {
+    buf_.push_back(w);
+    if (buf_.size() >= kBufWords) flush();
+  }
+  void flush() {
+    if (!buf_.empty()) {
+      std::fwrite(buf_.data(), sizeof(uint64_t), buf_.size(), f_);
+      buf_.clear();
+    }
+  }
+
+ private:
+  static constexpr size_t kBufWords = 1 << 18;
+  FILE* f_;
+  std::vector<uint64_t> buf_;
+};
+
 }  // namespace
 
 extern "C" {
@@ -289,70 +351,128 @@ long long kgt_strand_merge(const char* canon_path, const char* non_canon_path,
   return (long long)canon.size();
 }
 
-// Union-filter N strand lists into the master list (+ no-pass text file).
+// Union-filter N strand lists into the master list. Out-of-core: each list
+// streams through a bounded ListCursor (8 MB/file), so N x billions of
+// k-mers never sit in RAM — the reference's 5,000-slice bounded-memory
+// design (list_kmers_found_in_multiple_samples.cpp:144-151).
+//
+// When write_stats != 0, also emits the reference's companion artifacts
+// (list_kmers_found_in_multiple_samples.cpp:209-218), byte-identical to the
+// Python route (ingest/union.py): <out>.no_pass_kmers (textual MAC-passing
+// k-mers that failed the strand test), <out>.shareness, and the three
+// (N+1)^2 .stats.{only_canonical,only_non_canonical,both} matrices.
 // Returns #passing k-mers or -1.
-long long kgt_list_union(const char** paths, int n_samples, unsigned k,
-                         unsigned long long mac, double min_strand_frac,
-                         const char* out_path) {
-  struct Cursor {
-    std::vector<uint64_t> data;
-    size_t pos = 0;
-  };
-  std::vector<Cursor> cur(n_samples);
-  for (int i = 0; i < n_samples; ++i) {
-    FILE* f = std::fopen(paths[i], "rb");
-    if (!f) return -1;
-    std::fseek(f, 0, SEEK_END);
-    long long sz = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    size_t n = (size_t)sz / sizeof(uint64_t);
-    cur[i].data.resize(n);
-    if (std::fread(cur[i].data.data(), sizeof(uint64_t), n, f) != n) {
-      std::fclose(f);
-      return -1;
-    }
-    std::fclose(f);
-  }
+long long kgt_list_union_stats(const char** paths, int n_samples, unsigned k,
+                               unsigned long long mac, double min_strand_frac,
+                               const char* out_path, int write_stats) {
+  std::vector<ListCursor> cur(n_samples);
+  for (int i = 0; i < n_samples; ++i)
+    if (!cur[i].open(paths[i])) return -1;
   FILE* out = std::fopen(out_path, "wb");
   if (!out) return -1;
-  // k-way merge over sorted (by low 62 bits) lists with 3x20-bit counters,
-  // the reference's counter packing (list_kmers_found_in_multiple_samples.cpp:135-137)
+  FILE* nopass = nullptr;
+  size_t nn = (size_t)n_samples + 1;
+  std::vector<long long> share(nn, 0);
+  std::vector<long long> mat_canon, mat_non, mat_both;
+  if (write_stats) {
+    std::string np_path = std::string(out_path) + ".no_pass_kmers";
+    nopass = std::fopen(np_path.c_str(), "w");
+    if (!nopass) {
+      std::fclose(out);
+      return -1;
+    }
+    std::fputs("kmer\tcount_all\tcanonical\tnon-canonical\tboth\n", nopass);
+    mat_canon.assign(nn * nn, 0);
+    mat_non.assign(nn * nn, 0);
+    mat_both.assign(nn * nn, 0);
+  }
+  WordWriter writer(out);
+  char kbuf[33];
+  kbuf[k] = '\0';
+  static const char kBases[4] = {'A', 'C', 'G', 'T'};
+  // k-way merge over sorted (by low 62 bits) lists with the reference's
+  // 3-counter semantics (list_kmers_found_in_multiple_samples.cpp:135-137)
   long long n_pass = 0;
-  std::vector<uint64_t> heap_kmer(n_samples);
   for (;;) {
-    uint64_t lo = ~0ull;
+    uint64_t lo = ~0ull, w;
     for (int i = 0; i < n_samples; ++i) {
-      if (cur[i].pos < cur[i].data.size()) {
-        uint64_t v = cur[i].data[cur[i].pos] & kMask62;
+      if (cur[i].peek(w)) {
+        uint64_t v = w & kMask62;
         if (v < lo) lo = v;
       }
     }
     if (lo == ~0ull) break;
     uint64_t count_all = 0, count_canon = 0, count_non = 0;
     for (int i = 0; i < n_samples; ++i) {
-      if (cur[i].pos < cur[i].data.size()) {
-        uint64_t w = cur[i].data[cur[i].pos];
-        if ((w & kMask62) == lo) {
-          uint64_t flag = w >> 62;
-          ++count_all;
-          if (flag == 1) ++count_canon;
-          if (flag == 2) ++count_non;
-          ++cur[i].pos;
-        }
+      if (cur[i].peek(w) && (w & kMask62) == lo) {
+        uint64_t flag = w >> 62;
+        ++count_all;
+        if (flag == 1) ++count_canon;
+        if (flag == 2) ++count_non;
+        cur[i].advance();
       }
     }
     uint64_t count_both = count_all - count_canon - count_non;
-    if (count_all >= mac) {
+    bool pass_mac = count_all >= mac;
+    bool pass = false;
+    if (pass_mac) {
       double need = std::ceil(min_strand_frac * (double)count_all);
-      if ((double)(count_canon + count_both) >= need &&
-          (double)(count_non + count_both) >= need) {
-        std::fwrite(&lo, sizeof lo, 1, out);
-        ++n_pass;
+      pass = (double)(count_canon + count_both) >= need &&
+             (double)(count_non + count_both) >= need;
+    }
+    if (pass) {
+      writer.put(lo);
+      ++n_pass;
+    }
+    if (write_stats) {
+      if (pass) ++share[count_all];
+      mat_canon[count_all * nn + count_canon] += 1;
+      mat_non[count_all * nn + count_non] += 1;
+      mat_both[count_all * nn + count_both] += 1;
+      if (pass_mac && !pass && nopass) {
+        for (unsigned i = 0; i < k; ++i)
+          kbuf[i] = kBases[(lo >> (2 * (k - 1 - i))) & 3];
+        std::fprintf(nopass, "%s\t%llu\t%llu\t%llu\t%llu\n", kbuf,
+                     (unsigned long long)count_all,
+                     (unsigned long long)count_canon,
+                     (unsigned long long)count_non,
+                     (unsigned long long)count_both);
       }
     }
   }
+  writer.flush();
   std::fclose(out);
+  if (write_stats) {
+    std::fclose(nopass);
+    std::string base(out_path);
+    FILE* sf = std::fopen((base + ".shareness").c_str(), "w");
+    if (sf) {
+      std::fputs("kmer appearance\tcount\n", sf);
+      for (size_t i = 0; i < nn; ++i)
+        std::fprintf(sf, "%zu\t%lld\n", i, share[i]);
+      std::fclose(sf);
+    }
+    auto dump_mat = [&](const char* suffix, const std::vector<long long>& m) {
+      FILE* f = std::fopen((base + ".stats." + suffix).c_str(), "w");
+      if (!f) return;
+      for (size_t r = 0; r < nn; ++r) {
+        for (size_t c = 0; c < nn; ++c)
+          std::fprintf(f, c + 1 == nn ? "%lld\n" : "%lld\t", m[r * nn + c]);
+      }
+      std::fclose(f);
+    };
+    dump_mat("only_canonical", mat_canon);
+    dump_mat("only_non_canonical", mat_non);
+    dump_mat("both", mat_both);
+  }
   return n_pass;
+}
+
+long long kgt_list_union(const char** paths, int n_samples, unsigned k,
+                         unsigned long long mac, double min_strand_frac,
+                         const char* out_path) {
+  return kgt_list_union_stats(paths, n_samples, k, mac, min_strand_frac,
+                              out_path, 0);
 }
 
 // Build the presence/absence table from sorted sample lists + master list.
@@ -360,43 +480,17 @@ long long kgt_list_union(const char** paths, int n_samples, unsigned k,
 long long kgt_build_table(const char** list_paths, int n_samples,
                           const char* master_path, const char* table_path,
                           unsigned k) {
-  FILE* mf = std::fopen(master_path, "rb");
-  if (!mf) return -1;
-  std::fseek(mf, 0, SEEK_END);
-  long long msz = std::ftell(mf);
-  std::fseek(mf, 0, SEEK_SET);
-  size_t n_rows = (size_t)msz / sizeof(uint64_t);
-  std::vector<uint64_t> master(n_rows);
-  if (std::fread(master.data(), sizeof(uint64_t), n_rows, mf) != n_rows) {
-    std::fclose(mf);
-    return -1;
-  }
-  std::fclose(mf);
+  // Out-of-core: the master list streams in bounded chunks and every sample
+  // list streams through a ListCursor, mirroring the reference's 5,000
+  // threshold-bounded passes (build_kmers_table.cpp:98-103). Peak memory is
+  // O(chunk x n_words + 8 MB x n_samples) regardless of table size.
+  constexpr size_t kChunkRows = 1 << 21;  // 2M master rows per pass
+  ListCursor master;
+  if (!master.open(master_path)) return -1;
+  std::vector<ListCursor> cur(n_samples);
+  for (int s = 0; s < n_samples; ++s)
+    if (!cur[s].open(list_paths[s])) return -1;
 
-  size_t n_words = ((size_t)n_samples + 63) / 64;
-  std::vector<uint64_t> rows(n_rows * n_words, 0);
-  for (int s = 0; s < n_samples; ++s) {
-    FILE* f = std::fopen(list_paths[s], "rb");
-    if (!f) return -1;
-    std::fseek(f, 0, SEEK_END);
-    long long sz = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    size_t n = (size_t)sz / sizeof(uint64_t);
-    std::vector<uint64_t> sk(n);
-    if (std::fread(sk.data(), sizeof(uint64_t), n, f) != n) {
-      std::fclose(f);
-      return -1;
-    }
-    std::fclose(f);
-    uint64_t word = (uint64_t)s / 64, bit = (uint64_t)s % 64;
-    size_t mi = 0;
-    for (size_t i = 0; i < n; ++i) {
-      uint64_t v = sk[i] & kMask62;
-      while (mi < n_rows && master[mi] < v) ++mi;
-      if (mi == n_rows) break;
-      if (master[mi] == v) rows[mi * n_words + word] |= (1ull << bit);
-    }
-  }
   FILE* out = std::fopen(table_path, "wb");
   if (!out) return -1;
   const unsigned char magic[4] = {0xAA, 0xBB, 0xCC, 0xDD};
@@ -405,12 +499,49 @@ long long kgt_build_table(const char** list_paths, int n_samples,
   std::fwrite(magic, 1, 4, out);
   std::fwrite(&n_acc, sizeof n_acc, 1, out);
   std::fwrite(&klen, sizeof klen, 1, out);
-  for (size_t r = 0; r < n_rows; ++r) {
-    std::fwrite(&master[r], sizeof(uint64_t), 1, out);
-    std::fwrite(&rows[r * n_words], sizeof(uint64_t), n_words, out);
+
+  size_t n_words = ((size_t)n_samples + 63) / 64;
+  std::vector<uint64_t> chunk;
+  std::vector<uint64_t> rows;
+  std::vector<uint64_t> rowbuf;
+  long long n_rows = 0;
+  for (;;) {
+    chunk.clear();
+    uint64_t w;
+    while (chunk.size() < kChunkRows && master.peek(w)) {
+      chunk.push_back(w);
+      master.advance();
+    }
+    if (chunk.empty()) break;
+    uint64_t chunk_max = chunk.back();
+    rows.assign(chunk.size() * n_words, 0);
+    for (int s = 0; s < n_samples; ++s) {
+      uint64_t word = (uint64_t)s / 64, bit = (uint64_t)s % 64;
+      size_t mi = 0;
+      uint64_t sw;
+      // consume every sample element <= chunk_max (two-pointer merge; both
+      // sides sorted by the low 62 bits)
+      while (cur[s].peek(sw)) {
+        uint64_t v = sw & kMask62;
+        if (v > chunk_max) break;
+        while (mi < chunk.size() && chunk[mi] < v) ++mi;
+        if (mi < chunk.size() && chunk[mi] == v)
+          rows[mi * n_words + word] |= (1ull << bit);
+        cur[s].advance();
+      }
+    }
+    // interleave kmer + presence words and write the whole chunk at once
+    rowbuf.resize(chunk.size() * (1 + n_words));
+    for (size_t r = 0; r < chunk.size(); ++r) {
+      rowbuf[r * (1 + n_words)] = chunk[r];
+      std::memcpy(&rowbuf[r * (1 + n_words) + 1], &rows[r * n_words],
+                  n_words * sizeof(uint64_t));
+    }
+    std::fwrite(rowbuf.data(), sizeof(uint64_t), rowbuf.size(), out);
+    n_rows += (long long)chunk.size();
   }
   std::fclose(out);
-  return (long long)n_rows;
+  return n_rows;
 }
 
 // Squeeze + pack a chunk of raw table rows for the device.

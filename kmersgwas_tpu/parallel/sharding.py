@@ -87,6 +87,116 @@ def build_sharded_scan_step(mesh: Mesh, *, n_used: int, min_count: int, k: int):
     return step
 
 
+def init_sharded_buffered_state(mesh: Mesh, n_phenotypes: int, k: int,
+                                buf_cap: int, seed_state=None):
+    """Per-device BufferedTopKState with a leading device axis (D, ...),
+    sharded over the k-mer mesh axis. Each device carries its OWN top-k
+    over its row shard; states only meet at finalize_sharded_buffered.
+
+    seed_state: optional resumed TopKState (P, K) merged into device 0 ONLY
+    (other devices start empty) so the final cross-device merge stays exact
+    without deduplication.
+    """
+    import numpy as np
+    from ..ops import scanstep as ss
+    d = mesh.devices.size
+    z = np.zeros((d, n_phenotypes, k), np.int32)
+    zb = np.zeros((d, n_phenotypes, buf_cap), np.int32)
+    scores = np.full((d, n_phenotypes, k), -np.inf, np.float32)
+    row_lo, row_hi = z.copy(), z.copy()
+    thresh = np.full((d, n_phenotypes), -np.inf, np.float32)
+    if seed_state is not None:
+        scores[0] = np.asarray(seed_state.scores)
+        row_lo[0] = np.asarray(seed_state.row_lo)
+        row_hi[0] = np.asarray(seed_state.row_hi)
+        thresh[0] = scores[0][:, -1]
+    sh = NamedSharding(mesh, P(AXIS))
+    put = lambda a: jax.device_put(a, sh)
+    return ss.BufferedTopKState(
+        scores=put(scores), row_lo=put(row_lo), row_hi=put(row_hi),
+        buf_v=put(np.full((d, n_phenotypes, buf_cap), -np.inf, np.float32)),
+        buf_lo=put(zb), buf_hi=put(zb.copy()),
+        buf_n=put(np.zeros(d, np.int32)),
+        thresh=put(thresh))
+
+
+def build_sharded_scan_step_buffered(mesh: Mesh, *, n_used: int,
+                                     min_count: int, kernel: str = "xla",
+                                     block: int = 16, cand_c: int = 512,
+                                     cand_k: int = 2048):
+    """THE production multi-device scan step: the fused score kernel +
+    buffered deferred top-k merge (ops/scanstep.scan_step_buffered) running
+    independently on every device's row shard under `shard_map`.
+
+    No collectives per step — each device's BufferedTopKState competes only
+    within its shard; the exact global top-k emerges at
+    `finalize_sharded_buffered` (selection under the total order
+    (-score, row) is mergeable, reproducing the reference heap's
+    strictly-greater displacement + earliest-row tie rule,
+    best_associations_heap.cpp:43-59).
+
+    Inputs per call: state (leading device axis, from
+    init_sharded_buffered_state), packed (D*R_loc, W32) / popcnt / row_lo /
+    row_hi sharded over the k-mer axis, yp/ysum replicated.
+    """
+    from ..ops import scanstep as ss
+
+    def local_step(sc, rlo, rhi, bv, blo, bhi, bn, th,
+                   packed, popcnt, lo, hi, yp, ysum):
+        state = ss.BufferedTopKState(sc[0], rlo[0], rhi[0], bv[0], blo[0],
+                                     bhi[0], bn[0], th[0])
+        new = ss.scan_step_buffered.__wrapped__(
+            state, packed, popcnt, lo, hi, yp, ysum, n_used=n_used,
+            min_count=min_count, kernel=kernel, block=block,
+            cand_c=cand_c, cand_k=cand_k)
+        return tuple(x[None] for x in new)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS),) * 8 + (P(AXIS),) * 4 + (P(), P()),
+        out_specs=(P(AXIS),) * 8,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, packed, popcnt, lo, hi, yp, ysum):
+        out = sharded(*state, packed, popcnt, lo, hi, yp, ysum)
+        return ss.BufferedTopKState(*out)
+
+    return step
+
+
+def finalize_sharded_buffered(state) -> list:
+    """Sharded per-device states -> exact global per-phenotype top-k.
+
+    Flushes every device's candidate buffer into its carried top-k, then
+    merges across devices on the host under the total order
+    (-score, row asc) — the reference heap's effective order. Returns the
+    same structure as ops.topk.finalize: per phenotype (scores f64 desc,
+    rows int64), -inf entries dropped.
+    """
+    import numpy as np
+    from ..ops import topk as topk_ops
+    sc = np.asarray(state.scores, np.float64)        # (D, P, K)
+    lo = np.asarray(state.row_lo)
+    hi = np.asarray(state.row_hi)
+    bv = np.asarray(state.buf_v, np.float64)         # (D, P, C)
+    blo = np.asarray(state.buf_lo)
+    bhi = np.asarray(state.buf_hi)
+    d, p, k = sc.shape
+    all_v = np.concatenate([sc, bv], axis=2).transpose(1, 0, 2).reshape(p, -1)
+    rows = topk_ops.decode_rows(np.concatenate([lo, blo], axis=2),
+                                np.concatenate([hi, bhi], axis=2))
+    all_r = rows.transpose(1, 0, 2).reshape(p, -1)
+    out = []
+    for j in range(p):
+        finite = np.isfinite(all_v[j])
+        v, r = all_v[j][finite], all_r[j][finite]
+        order = np.lexsort((r, -v))[:k]
+        out.append((v[order], r[order]))
+    return out
+
+
 def build_sharded_kinship_step(mesh: Mesh):
     """-> jitted (acc (Npad,Npad) int32 replicated, packed sharded) -> acc.
 

@@ -33,15 +33,19 @@ def _norm(path: str) -> str:
 
 
 def save_scan_state(path: str, state: topk_ops.TopKState, next_row: int,
-                    n_tested: int) -> None:
+                    n_tested: int, stream: str = "table") -> None:
+    """`stream` tags what `next_row` indexes: "table" = absolute .table row,
+    "dtable" = row in the device-native cache. A resume only applies when
+    the stream kind matches (the two row spaces differ after MAC filtering)."""
     _atomic_savez(path, scores=np.asarray(state.scores),
                   row_lo=np.asarray(state.row_lo),
                   row_hi=np.asarray(state.row_hi),
-                  next_row=np.int64(next_row), n_tested=np.int64(n_tested))
+                  next_row=np.int64(next_row), n_tested=np.int64(n_tested),
+                  stream=np.array(stream))
 
 
 def load_scan_state(path: str):
-    """-> (TopKState, next_row, n_tested) or None if absent."""
+    """-> (TopKState, next_row, n_tested, stream) or None if absent."""
     if not os.path.exists(_norm(path)):
         return None
     import jax.numpy as jnp
@@ -49,7 +53,8 @@ def load_scan_state(path: str):
     state = topk_ops.TopKState(scores=jnp.asarray(z["scores"]),
                                row_lo=jnp.asarray(z["row_lo"]),
                                row_hi=jnp.asarray(z["row_hi"]))
-    return state, int(z["next_row"]), int(z["n_tested"])
+    stream = str(z["stream"]) if "stream" in z.files else "table"
+    return state, int(z["next_row"]), int(z["n_tested"]), stream
 
 
 def save_kinship_state(path: str, total: np.ndarray, n_rows: int,

@@ -56,6 +56,19 @@ class GWASConfig:
     run_snps: str | None = None         # None | "one_step" | "two_steps"
     n_snps: int = 10001
     dtable_cache: str | None = None
+    kinship_snps: bool = False          # kinship from the SNP matrix instead
+                                        # of the k-mers table (--kinship_snps,
+                                        # pipeline_parser.py:86)
+    n_extra_phenotype_kmers: int | None = None  # heap size override for the
+                                        # real phenotype column
+                                        # (--kmers_for_no_perm_phenotype ->
+                                        # associate_kmers --first_phenotype_best)
+    remove_intermediates: bool = True   # reference default: delete permutation
+                                        # PLINK artifacts + gzip assoc.txt
+                                        # (kmers_gwas.py:259-271);
+                                        # --dont_remove_intermediates disables
+    n_devices: int | None = None        # >1: shard the scan over a k-mer-axis
+                                        # device mesh (parallel/sharding.py)
 
 
 @dataclass
@@ -110,10 +123,22 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     accs, vals = average_phenotypes(pheno.accessions, pheno.values[:, 0])
     table_names = formats.read_names(cfg.kmers_table)
 
-    # 2. kinship + intersection
+    # 2. kinship + intersection. --kinship_snps selects the SNP-matrix
+    # kinship over the k-mers one (kmers_gwas.py:80-87); accession order then
+    # follows the SNP .fam, like the reference's snps_fam handling (:68-77)
     if cfg.kinship_path:
         K_full = kinship_mod.read_kinship(cfg.kinship_path)
         kin_names = table_names
+    elif cfg.kinship_snps and cfg.snps_matrix:
+        kin_names = formats.read_fam_names(cfg.snps_matrix + ".fam")
+        if os.path.exists(cfg.snps_matrix + ".kinship"):
+            K_full = kinship_mod.read_kinship(cfg.snps_matrix + ".kinship")
+            log("Using kinship calculated on SNPs")
+        else:
+            log("computing kinship from SNP matrix")
+            from ..snps.kinship import emma_kinship_from_bed
+            K_full = emma_kinship_from_bed(cfg.snps_matrix)
+            kinship_mod.write_kinship(cfg.snps_matrix + ".kinship", K_full)
     elif os.path.exists(cfg.kmers_table + ".kinship"):
         K_full = kinship_mod.read_kinship(cfg.kmers_table + ".kinship")
         kin_names = table_names
@@ -165,14 +190,29 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     # 4. association scan -> top-k per column
     kmers_dir = out / "kmers"
     kmers_dir.mkdir(exist_ok=True)
+    mesh = None
+    if cfg.n_devices and cfg.n_devices > 1:
+        import jax
+        from ..parallel import sharding as shard_mod
+        mesh = shard_mod.make_mesh(jax.devices()[:cfg.n_devices])
     result = scan_mod.associate(
         cfg.kmers_table, used, tr.transformed, tr.names,
         kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
         batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
-        use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache)
+        use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
+        first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh)
     (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
     if result.n_patterns is not None:
         (kmers_dir / "pheno.pattern_counter").write_text(f"{result.n_patterns}\n")
+
+    # winners' PLINK artifacts per column, reference-named pheno.<j>.<name>.*
+    # (associate_kmers' pass-2 export + the fam rewrite with UNtransformed
+    # values, kmers_gwas.py:152-160)
+    plink_bases = [str(kmers_dir / f"pheno.{j}.{name}")
+                   for j, name in enumerate(tr.names)]
+    scan_mod.export_plink(result, n, cfg.kmer_len, plink_bases)
+    for j, base in enumerate(plink_bases):
+        formats.write_fam(base + ".fam", used, tr.phenotypes[:, j])
 
     # 5. exact LMM on candidates, per phenotype column
     w_eig, U_eig = np.linalg.eigh(K)
@@ -229,6 +269,24 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         with open(kmers_dir / fname, "w") as f:
             for s, p in rows_:
                 f.write(f"{s}\t{p:.6e}\n")
+
+    # clean intermediates: drop permutation-column PLINK + assoc artifacts,
+    # gzip the real phenotype's assoc table (kmers_gwas.py:259-271; disabled
+    # by --dont_remove_intermediates)
+    if cfg.remove_intermediates:
+        import gzip
+        import shutil
+        for j, name in enumerate(tr.names):
+            if name == "phenotype_value":
+                continue
+            for ext in (".bed", ".bim", ".fam"):
+                Path(plink_bases[j] + ext).unlink(missing_ok=True)
+            (output_dir / f"{name}.assoc.txt").unlink(missing_ok=True)
+        src = output_dir / "phenotype_value.assoc.txt"
+        if src.exists():
+            with open(src, "rb") as fi, gzip.open(str(src) + ".gz", "wb") as fo:
+                shutil.copyfileobj(fi, fo)
+            src.unlink()
 
     (out / "log_file").write_text("\n".join(log_lines) + "\n")
     (out / "summary.json").write_text(json.dumps({

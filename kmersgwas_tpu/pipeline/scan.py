@@ -25,6 +25,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _merged_to_topk(per_pheno, p: int, k: int):
+    """Merged per-phenotype (scores, rows) lists -> a padded TopKState
+    (host arrays) usable as a resume seed / checkpoint payload."""
+    from ..ops import topk as topk_ops
+    scores = np.full((p, k), -np.inf, np.float32)
+    rows = np.zeros((p, k), np.int64)
+    for j, (v, r) in enumerate(per_pheno):
+        n = min(k, len(v))
+        scores[j, :n] = v[:n]
+        rows[j, :n] = r[:n]
+    lo, hi = topk_ops.encode_rows(rows.ravel())
+    return topk_ops.TopKState(scores=scores,
+                              row_lo=lo.reshape(p, k),
+                              row_hi=hi.reshape(p, k))
+
 from ..core import codec, formats
 from ..core.table import KmersTableReader
 from ..ops import score as score_ops
@@ -101,7 +117,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               first_phenotype_top: int | None = None,
               count_patterns: bool = False, use_pallas="auto",
               checkpoint_path: str | None = None, checkpoint_every: int = 20,
-              dtable_cache: str | None = None,
+              dtable_cache: str | None = None, mesh=None,
               progress=None) -> ScanResult:
     """Scan the full table; returns per-phenotype top-k with k-mer codes.
 
@@ -110,6 +126,11 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     dtable_cache: path to a device-native pre-packed table (core/dtable.py);
     built on first use, then batches stream as raw memmap slices with no
     host-side squeeze/pack work.
+    mesh: optional jax.sharding.Mesh. With >1 device the PRODUCTION step
+    (fused kernel + buffered deferred merge) runs per device shard under
+    shard_map, batches sharded over the k-mer axis, and the exact global
+    top-k is merged at finalize (parallel/sharding.py). Single-device
+    semantics and output are reproduced exactly.
     """
     reader = KmersTableReader(table_base, names_to_use=pheno_accessions)
     n_used = reader.n_used
@@ -127,29 +148,49 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     from ..utils import StageTimer, pick_kernel
     from . import checkpoint as ckpt
     kernel = pick_kernel(use_pallas)
+    n_devices = mesh.devices.size if mesh is not None else 1
+    use_sharded = n_devices > 1
+    stream_tag = "dtable" if dtable_cache else "table"
     n_tested = 0
     start_row = 0
     resumed_plain = None
     if checkpoint_path:
         resumed = ckpt.load_scan_state(checkpoint_path)
-        if resumed is not None:
-            resumed_plain, start_row, n_tested = resumed
+        if resumed is not None and resumed[3] == stream_tag:
+            resumed_plain, start_row, n_tested = resumed[:3]
     # fixed device shape: pad every batch to batch_size (rounded up for the
-    # pallas tile) so jit compiles exactly one program; padding rows carry
-    # popcnt == 0 and score -inf inside the step
-    pad_to = (((batch_size + 2047) // 2048) * 2048 if kernel == "pallas"
-              else batch_size)
+    # pallas tile and the device count) so jit compiles exactly one program;
+    # padding rows carry popcnt == 0 and score -inf inside the step
+    tile = 2048 if kernel == "pallas" else 1
+    quantum = n_devices * tile
+    pad_to = ((batch_size + quantum - 1) // quantum) * quantum
 
     # buffered deferred-merge parameters: per-batch candidate width, wide
     # extraction for flush batches, buffer capacity (flush every 8 batches)
-    cand_c = min(512, k_eff, pad_to)
-    cand_k = min(max(cand_c, k_eff // 8), k_eff, pad_to)
-    state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 8)
-    if resumed_plain is not None:
-        state = state._replace(scores=resumed_plain.scores,
-                               row_lo=resumed_plain.row_lo,
-                               row_hi=resumed_plain.row_hi,
-                               thresh=resumed_plain.scores[:, -1])
+    shard_rows = pad_to // n_devices
+    cand_c = min(512, k_eff, shard_rows)
+    cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
+    if use_sharded:
+        from ..parallel import sharding as shard_mod
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        state = shard_mod.init_sharded_buffered_state(
+            mesh, p, k_eff, buf_cap=cand_c * 8, seed_state=resumed_plain)
+        step_fn = shard_mod.build_sharded_scan_step_buffered(
+            mesh, n_used=n_used, min_count=min_count, kernel=kernel,
+            cand_c=cand_c, cand_k=cand_k)
+        batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
+        rep = NamedSharding(mesh, _P())
+        yp = jax.device_put(np.asarray(yp), rep)
+        ysum = jax.device_put(np.asarray(ysum), rep)
+        put = lambda a: jax.device_put(a, batch_sharding)
+    else:
+        state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 8)
+        if resumed_plain is not None:
+            state = state._replace(scores=resumed_plain.scores,
+                                   row_lo=resumed_plain.row_lo,
+                                   row_hi=resumed_plain.row_hi,
+                                   thresh=resumed_plain.scores[:, -1])
+        put = jnp.asarray
 
     if dtable_cache:
         from ..core import dtable as dt_mod
@@ -165,12 +206,16 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                                 names_to_use=pheno_accessions,
                                 min_count=min_count)
             dt = dt_mod.DTableReader(dtable_cache)
+        dt_start = (start_row // batch_size) * batch_size  # batch-aligned
+        n_tested -= start_row - dt_start                   # re-tested rows
         batches = ((pl_, pc_, rw_) for _, pl_, pc_, rw_
-                   in dt.iter_batches(batch_size, start_row=0))
+                   in dt.iter_batches(batch_size, start_row=dt_start))
+        next_pos = dt_start
     else:
         batches = ((b.packed, b.popcnt, b.row_index) for b
                    in reader.iter_batches(batch_size, min_count,
                                           start_row=start_row))
+        next_pos = start_row
 
     def prepare(args):
         """Host-side batch prep (runs on the prefetch thread): pad to the
@@ -187,6 +232,22 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         pats = np.asarray(b_packed) if patterns is not None else None
         return r, packed, popcnt, lo, hi, int(b_rows[-1]) if r else 0, pats
 
+    def step(st, packed, popcnt, lo, hi):
+        if use_sharded:
+            return step_fn(st, put(packed), put(popcnt), put(lo), put(hi),
+                           yp, ysum)
+        return ss.scan_step_buffered(
+            st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
+            n_used=n_used, min_count=min_count, kernel=kernel,
+            cand_c=cand_c, cand_k=cand_k)
+
+    def plain_state(st):
+        if use_sharded:
+            from ..parallel import sharding as shard_mod
+            return _merged_to_topk(
+                shard_mod.finalize_sharded_buffered(st), p, k_eff)
+        return ss.flush_buffered(st)
+
     timer = StageTimer("scan", "kmers", quiet=progress is not None)
     batch_i = 0
     for r, packed, popcnt, lo, hi, last_row, pats in _prefetch(
@@ -194,21 +255,24 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         n_tested += r
         if pats is not None:
             patterns.add(pats)
-        state = ss.scan_step_buffered(
-            state, jnp.asarray(packed), jnp.asarray(popcnt),
-            jnp.asarray(lo), jnp.asarray(hi), yp, ysum,
-            n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k)
+        state = step(state, packed, popcnt, lo, hi)
         batch_i += 1
-        if checkpoint_path and not dtable_cache and batch_i % checkpoint_every == 0:
-            ckpt.save_scan_state(checkpoint_path, ss.flush_buffered(state),
-                                 last_row + 1, n_tested)
+        # stream position after this batch: dtable rows advance by the batch
+        # quantum; table rows by the last absolute row consumed
+        next_pos = (next_pos + batch_size if dtable_cache else last_row + 1)
+        if checkpoint_path and batch_i % checkpoint_every == 0:
+            ckpt.save_scan_state(checkpoint_path, plain_state(state),
+                                 next_pos, n_tested, stream=stream_tag)
         timer.add(r)
         if progress is not None:
             progress(r)
     timer.done()
 
-    per_pheno = topk_ops.finalize(ss.flush_buffered(state))
+    if use_sharded:
+        from ..parallel import sharding as shard_mod
+        per_pheno = shard_mod.finalize_sharded_buffered(state)
+    else:
+        per_pheno = topk_ops.finalize(ss.flush_buffered(state))
 
     # resolve winner rows -> k-mer codes + packed PA (random access, pass 2)
     all_rows = np.unique(np.concatenate([rw for _, rw in per_pheno])

@@ -85,9 +85,14 @@ def test_cli_end_to_end(tmp_path, capsys):
     cli(["gwas", "--pheno", str(pheno), "--kmers_table", table,
          "--outdir", str(tmp_path / "out"), "-l", str(K), "-k", "50",
          "--permutations", "10", "--mac", "2", "--maf", "0.05",
-         "--min_data_points", "5", "--batch_size", "64"])
+         "--min_data_points", "5", "--batch_size", "64",
+         "--dont_remove_intermediates"])
     outdir = tmp_path / "out"
     assert (outdir / "kmers" / "threshold_5per").exists()
+    # winners' PLINK artifacts per column (kmers_gwas.py:152-160 parity)
+    for ext in (".bed", ".bim", ".fam"):
+        assert (outdir / "kmers" / f"pheno.0.phenotype_value{ext}").exists()
+        assert (outdir / "kmers" / f"pheno.1.P1{ext}").exists()
     assoc = (outdir / "kmers" / "output" / "phenotype_value.assoc.txt").read_text()
     lines = assoc.splitlines()
     assert lines[0].split("\t")[8] == "p_lrt"

@@ -302,3 +302,49 @@ def test_kmc_import_feeds_strand_merge(tmp_path):
     kk, ff = strand.strand_flags_from_counts(ck, nk, k)
     assert np.array_equal(kk, canon)
     assert set(ff.tolist()) <= {1, 2, 3}
+
+
+def test_streaming_builders_byte_identical(tmp_path):
+    """Out-of-core slice streaming produces byte-identical artifacts for any
+    slice count (the reference's 5,000-pass invariant,
+    build_kmers_table.cpp:98-103)."""
+    fx = full_pipeline_fixture(tmp_path, n_samples=9, n_kmers=600, seed=11)
+    ref_master = open(fx["master_path"], "rb").read()
+    ref_nopass = open(str(fx["master_path"]) + ".no_pass_kmers").read()
+    ref_share = open(str(fx["master_path"]) + ".shareness").read()
+    ref_table = open(fx["out_base"] + ".table", "rb").read()
+    for n_slices in (1, 7, 64):
+        m2 = tmp_path / f"master_s{n_slices}.kmers"
+        n2, st2 = union.build_master_list(fx["paths"], m2, K, mac=2,
+                                          min_strand_frac=0.2,
+                                          n_slices=n_slices)
+        assert n2 == fx["n_pass"]
+        assert open(m2, "rb").read() == ref_master
+        assert open(str(m2) + ".no_pass_kmers").read() == ref_nopass
+        assert open(str(m2) + ".shareness").read() == ref_share
+        t2 = str(tmp_path / f"pop_s{n_slices}")
+        rows = tablebuild.build_table(fx["paths"], fx["names"], m2, t2, K,
+                                      n_slices=n_slices)
+        assert rows == fx["n_rows"]
+        assert open(t2 + ".table", "rb").read() == ref_table
+
+
+def test_sorted_list_cursor(tmp_path):
+    """Cursor read_upto matches a direct masked comparison at every bound."""
+    from kmersgwas_tpu.ingest.streamio import SortedListCursor
+    rng = np.random.default_rng(3)
+    km = np.unique(rng.integers(0, 1 << (2 * K), size=5000, dtype=np.uint64))
+    fl = rng.integers(1, 4, size=len(km)).astype(np.uint64)
+    p = tmp_path / "list.kmers"
+    formats.write_strand_kmer_list(p, km, fl)
+    raw = np.fromfile(p, dtype="<u8")
+    bounds = sorted(rng.integers(0, 1 << (2 * K), size=10).tolist()) + [1 << (2 * K)]
+    with SortedListCursor(p, chunk_words=257) as cur:
+        prev = -1
+        for b in bounds:
+            got = cur.read_upto(b)
+            codes = raw & np.uint64(codec.KMER_MASK_62)
+            want = raw[(codes > prev) & (codes <= b)]
+            assert np.array_equal(got, want), b
+            prev = b
+        assert cur.exhausted

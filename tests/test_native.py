@@ -164,3 +164,26 @@ def test_reader_native_path_equals_numpy(tmp_path, monkeypatch):
         assert np.array_equal(a.packed, b.packed)
         assert np.array_equal(a.popcnt, b.popcnt)
         assert np.array_equal(a.row_index, b.row_index)
+
+
+def test_native_union_stats_artifacts_match_numpy(tmp_path):
+    """Native list_union with write_stats emits the same companion files
+    (.no_pass_kmers, .shareness, .stats.*) as the Python route, byte for
+    byte (list_kmers_found_in_multiple_samples.cpp:209-218 parity)."""
+    rng = np.random.default_rng(5)
+    paths = []
+    for s in range(5):
+        canon, nonc = _sample_counts(tmp_path, rng, f"w{s}")
+        p = tmp_path / f"w{s}.kmers"
+        native.strand_merge(canon, nonc, K, p)
+        paths.append(p)
+    m_nat = tmp_path / "mstats_nat.bin"
+    n1 = native.list_union(paths, K, 2, 0.3, m_nat, write_stats=True)
+    m_np = tmp_path / "mstats_np.bin"
+    n2, _ = union.build_master_list(paths, m_np, K, mac=2, min_strand_frac=0.3)
+    assert n1 == n2
+    for suffix in ("", ".no_pass_kmers", ".shareness", ".stats.only_canonical",
+                   ".stats.only_non_canonical", ".stats.both"):
+        a = open(str(m_nat) + suffix, "rb").read()
+        b = open(str(m_np) + suffix, "rb").read()
+        assert a == b, suffix

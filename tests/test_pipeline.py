@@ -300,3 +300,39 @@ def test_dtable_roundtrip_and_scan_equivalence(tmp_path):
         np.testing.assert_allclose(np.sort(direct.scores[j]),
                                    np.sort(cached.scores[j]), rtol=1e-6)
     assert cached.n_tested == direct.n_tested
+
+
+def test_scan_checkpoint_resume_dtable(tmp_path):
+    """Resume on the dtable fast path: checkpoints store the dtable stream
+    position (VERDICT weak #4) and a checkpoint from the wrong stream kind
+    is ignored rather than misapplied."""
+    pop = build_population(tmp_path, n_samples=16, n_kmers=300)
+    n = len(pop["names"])
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=(n, 2))
+    dt = str(tmp_path / "pop.dtable")
+    kw = dict(kmer_len=K, n_top=20, maf=0.05, mac=2, batch_size=50,
+              dtable_cache=dt)
+    full = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"], **kw)
+    ck = str(tmp_path / "dt_ck")
+    r1 = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                            checkpoint_path=ck, checkpoint_every=1, **kw)
+    from kmersgwas_tpu.pipeline import checkpoint as ckpt
+    st = ckpt.load_scan_state(ck)
+    assert st is not None and st[3] == "dtable"
+    r2 = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                            checkpoint_path=ck, checkpoint_every=1, **kw)
+    for j in range(2):
+        assert set(r1.kmers[j].tolist()) == set(full.kmers[j].tolist())
+        assert set(r2.kmers[j].tolist()) == set(full.kmers[j].tolist())
+        np.testing.assert_allclose(np.sort(r2.scores[j]),
+                                   np.sort(full.scores[j]), rtol=1e-6)
+    # a "table"-stream checkpoint must NOT seed a dtable-stream run
+    kw_nodt = dict(kmer_len=K, n_top=20, maf=0.05, mac=2, batch_size=50)
+    ck2 = str(tmp_path / "tab_ck")
+    scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                       checkpoint_path=ck2, checkpoint_every=1, **kw_nodt)
+    r3 = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                            checkpoint_path=ck2, checkpoint_every=10**6, **kw)
+    for j in range(2):
+        assert set(r3.kmers[j].tolist()) == set(full.kmers[j].tolist())
