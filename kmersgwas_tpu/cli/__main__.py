@@ -313,8 +313,8 @@ def _add_filter_kmers(sub):
 
 def _add_kmc(sub):
     p = sub.add_parser("kmc-import",
-                       help="convert a KMC1 .kmc_pre/.kmc_suf database to a "
-                            "binary kmer+count file (experimental format support)")
+                       help="convert a KMC .kmc_pre/.kmc_suf database "
+                            "(version 1 or 2/3) to a binary kmer+count file")
     p.add_argument("kmc_base")
     p.add_argument("-o", "--output", required=True)
 

@@ -348,3 +348,47 @@ def test_sorted_list_cursor(tmp_path):
             assert np.array_equal(got, want), b
             prev = b
         assert cur.exhausted
+
+
+def test_kmc2_roundtrip(tmp_path):
+    """KMC2/3 (kmc_version 0x200) write -> read round-trip: signature-binned
+    records + per-(bin, prefix) LUT reconstruct the exact k-mer set."""
+    from kmersgwas_tpu.ingest import kmc
+    rng = np.random.default_rng(6)
+    k = 17
+    kk = np.unique(rng.integers(0, 1 << (2 * k), size=5000, dtype=np.uint64))
+    cc = rng.integers(1, 1000, size=len(kk)).astype(np.uint64)
+    kmc.write_kmc2(str(tmp_path / "db2"), kk, cc, k, signature_len=5,
+                   n_bins=16)
+    rk, rc, rk_len = kmc.read_kmc(str(tmp_path / "db2"))
+    assert rk_len == k
+    assert np.array_equal(rk, kk)
+    order = np.argsort(kk)
+    assert np.array_equal(rc, cc[order])
+    # version field really is 0x200
+    import struct
+    data = open(str(tmp_path / "db2") + ".kmc_pre", "rb").read()
+    ver, _ = struct.unpack("<II", data[-12:-4])
+    assert ver == 0x200
+
+
+def test_kmc2_feeds_strand_merge(tmp_path):
+    """A KMC2 database imports into the strand-merge path identically to a
+    KMC1 one (the reference's OpenForListing contract,
+    kmers_add_strand_information.cpp:72-85)."""
+    from kmersgwas_tpu.ingest import kmc, strand
+    rng = np.random.default_rng(7)
+    k = 15
+    raw = rng.integers(0, 1 << (2 * k), size=3000, dtype=np.uint64)
+    canon = np.unique(codec.canonize(raw, k))
+    flip = rng.random(len(canon)) < 0.5
+    nonc = np.sort(np.where(flip, codec.reverse_complement(canon, k), canon))
+    kmc.write_kmc2(str(tmp_path / "c2"), canon,
+                   np.full(len(canon), 2, np.uint64), k, signature_len=4)
+    kmc.write_kmc1(str(tmp_path / "n1"), nonc,
+                   np.ones(len(nonc), np.uint64), k)
+    ck, _, _ = kmc.read_kmc(str(tmp_path / "c2"))
+    nk, _, _ = kmc.read_kmc(str(tmp_path / "n1"))
+    kk, ff = strand.strand_flags_from_counts(ck, nk, k)
+    assert np.array_equal(kk, canon)
+    assert set(ff.tolist()) <= {1, 2, 3}
