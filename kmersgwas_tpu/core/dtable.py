@@ -44,35 +44,40 @@ class DTableHeader:
 def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
                  min_count: int = 1, batch_rows: int = 1 << 20) -> DTableHeader:
     """One streaming pass: .table -> .dtable for the given accession subset,
-    dropping rows that fail the two-tail MAC filter at `min_count`."""
+    dropping rows that fail the two-tail MAC filter at `min_count`.
+
+    Fully out-of-core: each section streams to its own spill file as batches
+    arrive, then the sections are stitched behind the header — peak memory
+    is O(batch), never O(table)."""
+    import os
     reader = KmersTableReader(table_base, names_to_use=names_to_use)
-    tmp = str(out_path) + ".tmp"
-    kmers_l, pop_l, rows_l = [], [], []
+    spills = {s: str(out_path) + f".tmp.{s}"
+              for s in ("kmers", "popcnt", "planes", "rows")}
     n_rows = 0
-    with open(tmp, "wb") as planes_f:
+    fh = {s: open(p, "wb") for s, p in spills.items()}
+    try:
         for batch in reader.iter_batches(batch_rows, min_count):
-            planes_f.write(np.ascontiguousarray(batch.packed).tobytes())
-            kmers_l.append(batch.kmers)
-            pop_l.append(batch.popcnt.astype(np.uint16))
-            rows_l.append(batch.row_index)
+            batch.kmers.astype("<u8").tofile(fh["kmers"])
+            batch.popcnt.astype("<u2").tofile(fh["popcnt"])
+            np.ascontiguousarray(batch.packed).astype("<u4").tofile(fh["planes"])
+            batch.row_index.astype("<i8").tofile(fh["rows"])
             n_rows += batch.n_rows
+    finally:
+        for f in fh.values():
+            f.close()
     hdr = DTableHeader(n_rows=n_rows, n_used=reader.n_used, w32=reader.w32,
                        kmer_len=reader.header.kmer_len, min_count=min_count)
     with open(str(out_path), "wb") as f:
         f.write(_HDR.pack(MAGIC, VERSION, n_rows, reader.n_used, reader.w32,
                           reader.header.kmer_len, min_count))
-        if n_rows:
-            np.concatenate(kmers_l).astype("<u8").tofile(f)
-            np.concatenate(pop_l).astype("<u2").tofile(f)
-            with open(tmp, "rb") as pf:
+        for section in ("kmers", "popcnt", "planes", "rows"):
+            with open(spills[section], "rb") as pf:
                 while True:
                     chunk = pf.read(1 << 26)
                     if not chunk:
                         break
                     f.write(chunk)
-            np.concatenate(rows_l).astype("<i8").tofile(f)
-    import os
-    os.remove(tmp)
+            os.remove(spills[section])
     return hdr
 
 

@@ -166,17 +166,59 @@ def build_sharded_scan_step_buffered(mesh: Mesh, *, n_used: int,
     return step
 
 
-def finalize_sharded_buffered(state) -> list:
+def _merge_candidates(all_v, all_lo, all_hi, k: int) -> list:
+    """(P, D, K+C) candidate planes -> per-phenotype exact top-k under the
+    total order (-score, row asc) — the reference heap's effective order
+    (strictly-greater displacement + earliest-row ties,
+    best_associations_heap.cpp:43-59)."""
+    import numpy as np
+    from ..ops import topk as topk_ops
+    p = all_v.shape[0]
+    v_flat = all_v.reshape(p, -1).astype(np.float64)
+    rows = topk_ops.decode_rows(all_lo.reshape(p, -1), all_hi.reshape(p, -1))
+    out = []
+    for j in range(p):
+        finite = np.isfinite(v_flat[j])
+        v, r = v_flat[j][finite], rows[j][finite]
+        order = np.lexsort((r, -v))[:k]
+        out.append((v[order], r[order]))
+    return out
+
+
+def finalize_sharded_buffered(state, mesh: Mesh | None = None) -> list:
     """Sharded per-device states -> exact global per-phenotype top-k.
 
     Flushes every device's candidate buffer into its carried top-k, then
-    merges across devices on the host under the total order
-    (-score, row asc) — the reference heap's effective order. Returns the
-    same structure as ops.topk.finalize: per phenotype (scores f64 desc,
+    merges across devices under the heap's total order. Returns the same
+    structure as ops.topk.finalize: per phenotype (scores f64 desc,
     rows int64), -inf entries dropped.
+
+    Single-process meshes fetch all shards directly. For MULTI-process
+    meshes pass `mesh`: per-device candidates are all_gathered over ICI/DCN
+    so every process holds the full candidate set (the only collective the
+    scan ever issues — once, at the end).
     """
     import numpy as np
-    from ..ops import topk as topk_ops
+    if mesh is not None and jax.process_count() > 1:
+        import jax.numpy as jnp
+
+        def local(sc, rlo, rhi, bv, blo, bhi, bn, th):
+            cat_v = jnp.concatenate([sc[0], bv[0]], axis=1)      # (P, K+C)
+            cat_lo = jnp.concatenate([rlo[0], blo[0]], axis=1)
+            cat_hi = jnp.concatenate([rhi[0], bhi[0]], axis=1)
+            return (jax.lax.all_gather(cat_v, AXIS),             # (D, P, K+C)
+                    jax.lax.all_gather(cat_lo, AXIS),
+                    jax.lax.all_gather(cat_hi, AXIS))
+
+        gathered = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(AXIS),) * 8,
+            out_specs=(P(),) * 3, check_vma=False))(*state)
+        gv, glo, ghi = (np.asarray(x.addressable_shards[0].data)
+                        for x in gathered)
+        k = state.scores.shape[2]
+        return _merge_candidates(gv.transpose(1, 0, 2), glo.transpose(1, 0, 2),
+                                 ghi.transpose(1, 0, 2), k)
+
     sc = np.asarray(state.scores, np.float64)        # (D, P, K)
     lo = np.asarray(state.row_lo)
     hi = np.asarray(state.row_hi)
@@ -184,17 +226,10 @@ def finalize_sharded_buffered(state) -> list:
     blo = np.asarray(state.buf_lo)
     bhi = np.asarray(state.buf_hi)
     d, p, k = sc.shape
-    all_v = np.concatenate([sc, bv], axis=2).transpose(1, 0, 2).reshape(p, -1)
-    rows = topk_ops.decode_rows(np.concatenate([lo, blo], axis=2),
-                                np.concatenate([hi, bhi], axis=2))
-    all_r = rows.transpose(1, 0, 2).reshape(p, -1)
-    out = []
-    for j in range(p):
-        finite = np.isfinite(all_v[j])
-        v, r = all_v[j][finite], all_r[j][finite]
-        order = np.lexsort((r, -v))[:k]
-        out.append((v[order], r[order]))
-    return out
+    return _merge_candidates(
+        np.concatenate([sc, bv], axis=2).transpose(1, 0, 2),
+        np.concatenate([lo, blo], axis=2).transpose(1, 0, 2),
+        np.concatenate([hi, bhi], axis=2).transpose(1, 0, 2), k)
 
 
 def build_sharded_kinship_step(mesh: Mesh):

@@ -245,7 +245,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         if use_sharded:
             from ..parallel import sharding as shard_mod
             return _merged_to_topk(
-                shard_mod.finalize_sharded_buffered(st), p, k_eff)
+                shard_mod.finalize_sharded_buffered(st, mesh), p, k_eff)
         return ss.flush_buffered(st)
 
     timer = StageTimer("scan", "kmers", quiet=progress is not None)
@@ -270,7 +270,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
 
     if use_sharded:
         from ..parallel import sharding as shard_mod
-        per_pheno = shard_mod.finalize_sharded_buffered(state)
+        per_pheno = shard_mod.finalize_sharded_buffered(state, mesh)
     else:
         per_pheno = topk_ops.finalize(ss.flush_buffered(state))
 

@@ -62,6 +62,31 @@ def main():
     if pid == 0:
         np.savez(os.path.join(outdir, "result.npz"),
                  scores=scores, rows=rows)
+
+    # --- PRODUCTION path: buffered per-device step over 2 streamed batches,
+    # all_gather finalize (the only collective) ---
+    d = mesh.devices.size
+    bstate = sharding.init_sharded_buffered_state(mesh, p, k, buf_cap=8 * 4)
+    bstep = sharding.build_sharded_scan_step_buffered(
+        mesh, n_used=n, min_count=1, kernel="xla", cand_c=8, cand_k=8)
+    half_rows = r // 2
+    for b in range(2):                        # rows [0,512) then [512,1024)
+        gsl = slice(b * half_rows, (b + 1) * half_rows)
+        # this process contributes its half of the global batch
+        quarter = half_rows // 2
+        psl = slice(b * half_rows + pid * quarter,
+                    b * half_rows + (pid + 1) * quarter)
+        bp, bpc, blo, bhi = multihost.make_global_batch(
+            mesh, [packed[psl], popcnt[psl], lo[psl], hi[psl]])
+        bstate = bstep(bstate, bp, bpc, blo, bhi, ypr, ysr)
+    per = sharding.finalize_sharded_buffered(bstate, mesh)
+    if pid == 0:
+        np.savez(os.path.join(outdir, "result_buffered.npz"),
+                 scores=np.stack([np.pad(v, (0, k - len(v)),
+                                         constant_values=-np.inf)
+                                  for v, _ in per]),
+                 rows=np.stack([np.pad(rw, (0, k - len(rw)))
+                                for _, rw in per]))
     jax.distributed.shutdown()
 
 

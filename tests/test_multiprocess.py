@@ -67,3 +67,21 @@ def test_two_process_sharded_scan(tmp_path):
         np.testing.assert_allclose(np.sort(got_scores[j]), np.sort(ref[j][0]),
                                    rtol=1e-5)
         assert set(got_rows[j].tolist()) == set(ref[j][1].tolist())
+
+    # PRODUCTION buffered path: 2 processes x 2 devices over 2 streamed
+    # batches must reproduce the single-device buffered scan exactly
+    zb = np.load(tmp_path / "result_buffered.npz")
+    from kmersgwas_tpu.ops import scanstep as ss
+    bstate = ss.init_buffered_state(p_, k, buf_cap=8 * 4)
+    half = r // 2
+    for b in range(2):
+        sl = slice(b * half, (b + 1) * half)
+        bstate = ss.scan_step_buffered(
+            bstate, jnp.asarray(packed[sl]), jnp.asarray(popcnt[sl]),
+            jnp.asarray(lo[sl]), jnp.asarray(hi[sl]), yp, ysum,
+            n_used=n, min_count=1, kernel="xla", cand_c=8, cand_k=8)
+    bref = topk.finalize(ss.flush_buffered(bstate))
+    for j in range(p_):
+        nv = len(bref[j][0])
+        np.testing.assert_allclose(zb["scores"][j][:nv], bref[j][0], rtol=1e-5)
+        np.testing.assert_array_equal(zb["rows"][j][:nv], bref[j][1])
