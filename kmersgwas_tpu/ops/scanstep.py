@@ -223,6 +223,34 @@ def scan_step_buffered(state: BufferedTopKState, packed, popcnt,
     return jax.lax.cond(can_buffer, do_buffer, do_flush, state)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_used", "min_count", "kernel", "block",
+                                    "cand_c", "cand_k"))
+def scan_step_buffered_multi(state: BufferedTopKState, packed, popcnt,
+                             row_lo, row_hi, y_padded, y_sum, *, n_used: int,
+                             min_count: int, kernel: str = "xla",
+                             block: int = 16, cand_c: int = 512,
+                             cand_k: int = 2048) -> BufferedTopKState:
+    """Chained variant: process B batches in ONE dispatch via lax.scan.
+
+    packed (B, R, W32), popcnt/row_lo/row_hi (B, R). Through a remote-relay
+    device link each jit call costs milliseconds of fixed dispatch latency;
+    chaining batches amortizes it without changing per-batch semantics
+    (bitwise-identical state evolution to B sequential scan_step_buffered
+    calls)."""
+
+    def body(st, batch):
+        pk, pc, lo, hi = batch
+        st = scan_step_buffered.__wrapped__(
+            st, pk, pc, lo, hi, y_padded, y_sum, n_used=n_used,
+            min_count=min_count, kernel=kernel, block=block,
+            cand_c=cand_c, cand_k=cand_k)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (packed, popcnt, row_lo, row_hi))
+    return state
+
+
 @jax.jit
 def flush_buffered(state: BufferedTopKState) -> topk_ops.TopKState:
     """Drain the candidate buffer -> plain TopKState (for finalize/checkpoint)."""

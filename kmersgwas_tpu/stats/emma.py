@@ -194,6 +194,153 @@ def mle(y, K, X=None) -> REMLEResult:
     return mle_from_eigen(etas, lam_R, xi)
 
 
+# ---------------------------------------------------------------------------
+# Remaining emma.R public surface (pipeline-unused, kept for API parity):
+# emma.kinship (emma.R:1-47), emma.ML.LRT (emma.R:495-741),
+# emma.REML.t (emma.R:1013-1274). Implemented for the no-Z, complete-data
+# configuration (the only one the reference ecosystem exercises), vectorized
+# over variants instead of R's row loops.
+# ---------------------------------------------------------------------------
+
+def emma_kinship(snps, method: str = "additive", use: str = "all"):
+    """emma.kinship: SNP matrix (m markers x n individuals, values in
+    {0, 0.5, 1, NaN}) -> (n, n) similarity kinship.
+
+    K[i,j] = mean over markers of x_i x_j + (1-x_i)(1-x_j); hets are
+    resolved to major/minor per `method`; NaNs mean-imputed (`use="all"`)
+    or their markers dropped (`use="complete.obs"`). The double GEMM
+    replaces R's O(n^2 m) pair loop (emma.R:40-46)."""
+    S = jnp.asarray(snps, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    isna = jnp.isnan(S)
+    row_mean = jnp.nanmean(S, axis=1, keepdims=True)
+    het = ~isna & (S == 0.5)
+    if method == "dominant":
+        S = jnp.where(het, (row_mean > 0.5).astype(S.dtype), S)
+    elif method == "recessive":
+        S = jnp.where(het, (row_mean < 0.5).astype(S.dtype), S)
+    elif method == "additive":
+        d = jnp.where(het, (row_mean > 0.5).astype(S.dtype), S)
+        r = jnp.where(het, (row_mean < 0.5).astype(S.dtype), S)
+        S = jnp.concatenate([d, r], axis=0)
+        isna = jnp.concatenate([isna, isna], axis=0)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if use == "all":
+        fill = jnp.nanmean(S, axis=1, keepdims=True)
+        S = jnp.where(jnp.isnan(S), jnp.broadcast_to(fill, S.shape), S)
+    elif use == "complete.obs":
+        import numpy as _np
+        Sh = _np.asarray(S)
+        S = jnp.asarray(Sh[~_np.any(_np.isnan(Sh), axis=1)])
+    else:
+        raise ValueError(f"unknown use {use!r}")
+    K = (S.T @ S + (1.0 - S).T @ (1.0 - S)) / S.shape[0]
+    n = K.shape[0]
+    return K.at[jnp.arange(n), jnp.arange(n)].set(1.0)
+
+
+def emma_ML_LRT(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
+                ulim: float = 10.0):
+    """emma.ML.LRT: per-variant ML likelihood-ratio test.
+
+    ys (g, n) or (n,) phenotypes, xs (m, n) variants, K (n, n). Returns a
+    dict with ps/stats/ML1s/ML0s/vgs/ves shaped (m, g). Monomorphic
+    variants get p = 1 (emma.R:541-555); complete data, no Z."""
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    ys = jnp.atleast_2d(jnp.asarray(ys, dt))
+    xs = jnp.atleast_2d(jnp.asarray(xs, dt))
+    K = jnp.asarray(K, dt)
+    n = ys.shape[1]
+    X0 = jnp.ones((n, 1), dt)
+    xi = jnp.linalg.eigvalsh(K)[::-1]
+    lam0, vec0 = eigen_R(K, X0)
+
+    ml0 = jnp.stack([mle_from_eigen(vec0.T @ y, lam0, xi,
+                                    llim=llim, ulim=ulim, ngrids=ngrids).reml_ll
+                     for y in ys])                               # (g,)
+
+    def per_variant(x):
+        X = jnp.column_stack([X0, x])
+        lam1, vec1 = eigen_R(K, X)
+        res = [mle_from_eigen(vec1.T @ y, lam1, xi, llim=llim, ulim=ulim,
+                              ngrids=ngrids) for y in ys]
+        ml1 = jnp.stack([r.reml_ll for r in res])
+        vg = jnp.stack([r.vg for r in res])
+        ve = jnp.stack([r.ve for r in res])
+        return ml1, vg, ve
+
+    from .lmm import chi2_sf_df1
+    ml1s, vgs, ves, stats_, ps = [], [], [], [], []
+    for x in xs:
+        mono = (jnp.mean(x) <= 0) | (jnp.mean(x) >= 1)
+        ml1, vg, ve = per_variant(x)
+        stat = jnp.where(mono, jnp.nan, 2.0 * (ml1 - ml0))
+        ps.append(jnp.where(mono, 1.0, chi2_sf_df1(jnp.maximum(stat, 0.0))))
+        stats_.append(stat)
+        ml1s.append(jnp.where(mono, jnp.nan, ml1))
+        vgs.append(jnp.where(mono, jnp.nan, vg))
+        ves.append(jnp.where(mono, jnp.nan, ve))
+    return {"ps": jnp.stack(ps), "stats": jnp.stack(stats_),
+            "ML1s": jnp.stack(ml1s), "ML0s": jnp.broadcast_to(ml0, (len(xs), ys.shape[0])),
+            "vgs": jnp.stack(vgs), "ves": jnp.stack(ves)}
+
+
+def _t_sf(t, df):
+    """Student-t survival function via the regularized incomplete beta."""
+    from jax.scipy.special import betainc
+    x = df / (df + t * t)
+    return 0.5 * betainc(df / 2.0, 0.5, x)
+
+
+def emma_REML_t(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
+                ulim: float = 10.0):
+    """emma.REML.t: per-variant REML Wald t-test.
+
+    Per variant: REMLE under X = [1, x]; rotate by U = Q diag(1/sqrt(xi +
+    delta)) from the unrestricted eigendecomposition (emma.R:1089-1101);
+    stat = beta / sqrt(iXX[q,q] vg); p = 2 P(T_{n-2} > |stat|)
+    (emma.R:1263). Monomorphic variants get p = 1."""
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    ys = jnp.atleast_2d(jnp.asarray(ys, dt))
+    xs = jnp.atleast_2d(jnp.asarray(xs, dt))
+    K = jnp.asarray(K, dt)
+    n = ys.shape[1]
+    q1 = 2
+    X0 = jnp.ones((n, 1), dt)
+    xi, Q = jnp.linalg.eigh(K)
+    xi, Q = xi[::-1], Q[:, ::-1]
+
+    out_stats, out_ps, out_vgs, out_ves, out_remls = [], [], [], [], []
+    for x in xs:
+        mono = (jnp.mean(x) <= 0) | (jnp.mean(x) >= 1)
+        X = jnp.column_stack([X0, x])
+        lam1, vec1 = eigen_R(K, X)
+        st_j, p_j, vg_j, ve_j, reml_j = [], [], [], [], []
+        for y in ys:
+            res = remle_from_eigen(vec1.T @ y, lam1, llim=llim, ulim=ulim,
+                                   ngrids=ngrids)
+            U = Q * jnp.sqrt(1.0 / (xi + res.delta))[None, :]
+            yt = U.T @ y
+            Xt = U.T @ X
+            iXX = jnp.linalg.inv(Xt.T @ Xt)
+            beta = iXX @ (Xt.T @ yt)
+            stat = beta[q1 - 1] / jnp.sqrt(iXX[q1 - 1, q1 - 1] * res.vg)
+            st_j.append(stat)
+            p_j.append(2.0 * _t_sf(jnp.abs(stat), jnp.asarray(n - q1, dt)))
+            vg_j.append(res.vg)
+            ve_j.append(res.ve)
+            reml_j.append(res.reml_ll)
+        out_stats.append(jnp.where(mono, jnp.nan, jnp.stack(st_j)))
+        out_ps.append(jnp.where(mono, 1.0, jnp.stack(p_j)))
+        out_vgs.append(jnp.where(mono, jnp.nan, jnp.stack(vg_j)))
+        out_ves.append(jnp.where(mono, jnp.nan, jnp.stack(ve_j)))
+        out_remls.append(jnp.where(mono, jnp.nan, jnp.stack(reml_j)))
+    return {"ps": jnp.stack(out_ps), "stats": jnp.stack(out_stats),
+            "vgs": jnp.stack(out_vgs), "ves": jnp.stack(out_ves),
+            "REMLs": jnp.stack(out_remls), "dfs": jnp.full((len(xs), ys.shape[0]),
+                                                           n - q1, dt)}
+
+
 def is_positive_semi_definite(K, tol: float = 1e-8) -> bool:
     """PSD gate on the kinship matrix (transform_and_permute_phenotypes.R:54-57)."""
     w = jnp.linalg.eigvalsh(jnp.asarray(K))

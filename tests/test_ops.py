@@ -252,3 +252,41 @@ def test_scan_step_buffered_matches_plain():
     np.testing.assert_array_equal(
         topk.decode_rows(np.asarray(state_p.row_lo), np.asarray(state_p.row_hi)),
         topk.decode_rows(np.asarray(final_b.row_lo), np.asarray(final_b.row_hi)))
+
+
+def test_scan_step_buffered_multi_matches_sequential():
+    """Chained multi-batch step == B sequential buffered steps, bitwise."""
+    import functools
+    from kmersgwas_tpu.ops import scanstep as ss
+    from kmersgwas_tpu.ops import score as score_ops
+    rng = np.random.default_rng(12)
+    n, p, k, r, B = 40, 3, 24, 256, 4
+    n_pad = 128
+    w32 = n_pad // 32
+    y = rng.normal(size=(n, p)).astype(np.float32)
+    yp, ysum = score_ops.prepare_phenotypes(y, n_pad)
+    kw = dict(y_padded=yp, y_sum=ysum, n_used=n, min_count=2,
+              kernel="xla", cand_c=8, cand_k=8)
+    packed = np.zeros((B, r, w32), np.uint32)
+    popcnt = np.zeros((B, r), np.float32)
+    los = np.zeros((B, r), np.int32)
+    his = np.zeros((B, r), np.int32)
+    for b in range(B):
+        bits = rng.integers(0, 2, size=(r, n)).astype(np.uint8)
+        padded = np.zeros((r, n_pad), np.uint8)
+        padded[:, :n] = bits
+        packed[b] = bitplanes.pack_bits_np(padded)
+        popcnt[b] = bits.sum(axis=1)
+        lo, hi = topk.encode_rows(np.arange(b * r, (b + 1) * r))
+        los[b], his[b] = lo, hi
+    s_seq = ss.init_buffered_state(p, k, buf_cap=8 * 4)
+    for b in range(B):
+        s_seq = ss.scan_step_buffered(s_seq, jnp.asarray(packed[b]),
+                                      jnp.asarray(popcnt[b]),
+                                      jnp.asarray(los[b]),
+                                      jnp.asarray(his[b]), **kw)
+    s_multi = ss.scan_step_buffered_multi(
+        ss.init_buffered_state(p, k, buf_cap=8 * 4), jnp.asarray(packed),
+        jnp.asarray(popcnt), jnp.asarray(los), jnp.asarray(his), **kw)
+    for a, b_ in zip(s_seq, s_multi):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
