@@ -214,29 +214,52 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     for j, base in enumerate(plink_bases):
         formats.write_fam(base + ".fam", used, tr.phenotypes[:, j])
 
-    # 5. exact LMM on candidates, per phenotype column
+    # 5. exact LMM on candidates — columns batched into chunked vmapped
+    # dispatches (the reference's ~101-process GEMMA farm, functions.py:61-66,
+    # becomes a handful of (chunk, M, n) kernels)
+    from ..utils import StageTimer
     w_eig, U_eig = np.linalg.eigh(K)
     min_count = scan_mod.effective_min_count(n, cfg.maf, cfg.mac)
     output_dir = kmers_dir / "output"
     output_dir.mkdir(exist_ok=True)
     best_pvals = {}
     first_assoc = None
-    for j, cname in enumerate(tr.names):
-        rows = result.rows[j]
-        genos = np.stack([_pa_bits(result.pa_rows[int(r)], n) for r in rows]) \
-            if len(rows) else np.zeros((0, n))
-        yj = tr.phenotypes[:, j]           # UNtransformed column (kmers_gwas.py:152-160)
-        if len(rows):
+    lmm_timer = StageTimer("lmm", "variants")
+    results_by_col = {}
+    # group columns by candidate count so stacks are rectangular (column 0
+    # may use a different heap size via n_extra_phenotype_kmers)
+    by_m = {}
+    for j in range(len(tr.names)):
+        by_m.setdefault(len(result.rows[j]), []).append(j)
+    # ~800 MB of f64 genotype stack per dispatch
+    max_m = max(by_m) if by_m else 1
+    chunk_cols = max(1, int(8e8 // max(1, 8 * n * max_m)))
+    for m, cols in sorted(by_m.items()):
+        if m == 0:
+            for j in cols:
+                results_by_col[j] = (np.empty(0), np.empty(0), np.empty(0))
+            continue
+        for s in range(0, len(cols), chunk_cols):
+            grp = cols[s:s + chunk_cols]
+            genos = np.stack([
+                np.stack([_pa_bits(result.pa_rows[int(r)], n)
+                          for r in result.rows[j]]) for j in grp])
+            ys = np.stack([tr.phenotypes[:, j] - tr.phenotypes[:, j].mean()
+                           for j in grp])   # UNtransformed (kmers_gwas.py:152-160)
             with _stats_device():
-                res = lmm_mod.lmm_scan(genos, yj - yj.mean(), w_eig, U_eig,
-                                       n_grid=cfg.lmm_grid,
-                                       n_refine=cfg.lmm_refine)
-            pvals = np.asarray(res.p_lrt, dtype=np.float64)
-            lam = np.asarray(res.log10_lambda, dtype=np.float64)
-            beta = np.asarray(res.beta, dtype=np.float64)
-        else:
-            pvals = np.empty(0)
-            lam = beta = np.empty(0)
+                res = lmm_mod.lmm_scan_columns(genos, ys, w_eig, U_eig,
+                                               n_grid=cfg.lmm_grid,
+                                               n_refine=cfg.lmm_refine)
+            for gi, j in enumerate(grp):
+                results_by_col[j] = (
+                    np.asarray(res.p_lrt[gi], dtype=np.float64),
+                    np.asarray(res.log10_lambda[gi], dtype=np.float64),
+                    np.asarray(res.beta[gi], dtype=np.float64))
+            lmm_timer.add(m * len(grp))
+    lmm_timer.done()
+
+    for j, cname in enumerate(tr.names):
+        pvals, lam, beta = results_by_col[j]
         _write_assoc_txt(output_dir / f"{cname}.assoc.txt", result, j,
                          cfg.kmer_len, n, pvals, lam, beta)
         best = float(pvals.min()) if len(pvals) else 1.0

@@ -112,6 +112,22 @@ def lmm_scan(genotypes, y, K_eigvals, K_eigvecs, covariates=None,
     return LMMResult(log10_lambda=log10_lam, logl_alt=ll_alt, beta=beta, p_lrt=p)
 
 
+@functools.partial(jax.jit, static_argnames=("n_grid", "n_refine"))
+def lmm_scan_columns(genotypes, ys, K_eigvals, K_eigvecs,
+                     n_grid: int = 64, n_refine: int = 40) -> LMMResult:
+    """ML-LRT over variants for SEVERAL phenotype columns in one dispatch.
+
+    genotypes (P, M, n) per-column candidate variants, ys (P, n) phenotype
+    columns. The reference farms one GEMMA process per column
+    (functions.py:61-66, ~101 of them); here the column axis is one more
+    vmap dimension over the same rotated-profile optimizer. Returns
+    LMMResult with (P, M)-shaped fields."""
+    return jax.vmap(
+        lambda g, y: lmm_scan.__wrapped__(g, y, K_eigvals, K_eigvecs, None,
+                                          n_grid, n_refine)
+    )(jnp.asarray(genotypes), jnp.asarray(ys))
+
+
 def grammar_gamma_score(genotypes, y_transformed, n_used, min_count):
     """GRAMMAR-Gamma approximate score used by the fast scan — see ops/score.py
     for the production packed-bit kernel; this dense version exists for tests."""
