@@ -99,71 +99,98 @@ def streaming(n_rows: int = 8_000_000, batch_size: int = 1_000_000,
 
 
 def main():
+    """Device-side scan throughput over a SIMULATED GENUINE STREAM.
+
+    Every step scores a fresh random 2M-row batch generated on-device by the
+    hardware PRNG — unlike recycling a few device-resident batches, this
+    reproduces the real displacement statistics of a long scan: early
+    batches are hot (many rows beat the carried k-th score -> exact wide
+    merges), later batches almost never are (compact tile-max append path).
+    The reported number is the AMORTIZED throughput over a ~1e9-row virtual
+    stream, inclusive of the on-device batch generation (~7% of step time).
+    """
+    import functools
+    import sys
+
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import scanstep as ss
     from kmersgwas_tpu.ops import score as score_ops
-    from kmersgwas_tpu.ops import topk as topk_ops
 
     n_used, n_pad, p, k = 1008, 1024, 101, 10001
     rows = 1 << 21          # 2M k-mers per device step
     min_count = 51
     w32 = n_pad // 32
+    gen_tile = 1 << 14
 
     rng = np.random.default_rng(0)
     y = rng.normal(size=(n_used, p)).astype(np.float32)
     yp, ysum = score_ops.prepare_phenotypes(y, n_pad)
+    yp, ysum = jax.device_put(yp), jax.device_put(ysum)
 
-    # distinct device-resident batches emulate a real stream: the candidate
-    # fast path engages once the carried k-th score clears a batch quantile,
-    # which needs genuinely distinct rows (a repeated batch never does)
-    n_batches = 12
-    batches = []
-    for b in range(n_batches):
-        packed = rng.integers(0, 1 << 32, size=(rows, w32),
-                              dtype=np.uint64).astype(np.uint32)
-        popcnt = np.asarray(jax.device_get(jnp.sum(
-            jax.lax.population_count(jnp.asarray(packed)), axis=1)),
-            dtype=np.float32)
-        lo, hi = topk_ops.encode_rows(np.arange(b * rows, (b + 1) * rows))
-        batches.append((jax.device_put(packed), jax.device_put(popcnt),
-                        jax.device_put(lo), jax.device_put(hi)))
+    def _gen_kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        out_ref[...] = pltpu.prng_random_bits(out_ref.shape)
 
-    from kmersgwas_tpu.ops import scanstep as ss
-    import functools
-    step_j = functools.partial(ss.scan_step_buffered, y_padded=yp, y_sum=ysum,
-                               n_used=n_used, min_count=min_count,
-                               kernel="pallas", cand_c=512, cand_k=2048)
-    import sys
+    @jax.jit
+    def gen_batch(seed, base):
+        # kept as its OWN jit (not fused into the step): the batch stays on
+        # device between the two dispatches, like a prefetched real batch.
+        # seed/base are device scalars carried across steps — per-iteration
+        # host->device transfers through the relay would dominate otherwise.
+        packed = pl.pallas_call(
+            _gen_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rows // gen_tile,),
+                in_specs=[],
+                out_specs=pl.BlockSpec((gen_tile, w32), lambda i, s: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows, w32), jnp.uint32),
+        )(jnp.reshape(seed, (1,)))
+        pc = jnp.sum(jax.lax.population_count(packed), axis=1
+                     ).astype(jnp.float32)
+        lo = base + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
+        hi = jnp.zeros((rows,), jnp.int32)
+        return packed, pc, lo, hi, seed + 64, base + rows
+
+    step = functools.partial(
+        ss.scan_step_compact, y_padded=yp, y_sum=ysum, n_used=n_used,
+        min_count=min_count, kernel="pallas", cand_c=256, cand_k=2048,
+        tile_rows=2048)
+
+    iters = 500                         # ~1.05e9-row virtual stream
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    state = ss.init_buffered_state(p, k, buf_cap=512 * 8)
-    state = step_j(state, *batches[0])
+    state = ss.init_buffered_state(p, k, buf_cap=256 * 24)
+    seed = jax.device_put(jnp.int32(1 << 20))
+    base = jax.device_put(jnp.int32(0))
+    packed, pc, lo, hi, seed, base = gen_batch(seed, base)
+    state = step(state, packed, pc, lo, hi)
     jax.block_until_ready(state.scores)
-    print(f"compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
-    for b in batches[1:]:                  # warm the carried state
-        state = step_j(state, *b)
-    jax.block_until_ready(state.scores)
+    print(f"compiled in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
 
-    # measure the host-fetch cost separately: through a remote relay the one
-    # (P,K) fetch that syncs the loop can rival many steps of compute
     t0 = time.perf_counter()
-    _ = float(np.asarray(state.scores).sum())
-    t_fetch = time.perf_counter() - t0
-
-    iters = 96
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state = step_j(state, *batches[i % n_batches])
+    for i in range(1, iters):
+        packed, pc, lo, hi, seed, base = gen_batch(seed, base)
+        state = step(state, packed, pc, lo, hi)
+        if i % 16 == 0:      # bound the async dispatch queue (each queued
+            np.asarray(state.buf_n)      # step pins a 256MB batch in HBM)
     # host fetch: on remote backends block_until_ready alone can under-wait
     checksum = float(np.asarray(state.scores).sum())
-    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
+    dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
-    kmers_per_sec = rows * iters / dt
+    kmers_per_sec = rows * (iters - 1) / dt
     print(json.dumps({
         "metric": "assoc_scan_kmers_per_sec_per_chip",
         "value": round(kmers_per_sec, 1),
-        "unit": "kmers/s (N=1008, P=101, top-10001)",
+        "unit": "kmers/s (N=1008, P=101, top-10001; amortized over a "
+                "1e9-row fresh-random stream incl. on-device generation)",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
     }))
 

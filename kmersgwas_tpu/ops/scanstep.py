@@ -188,39 +188,225 @@ def scan_step_buffered(state: BufferedTopKState, packed, popcnt,
             buf_n=st.buf_n + cand_c)
 
     def do_flush(st: BufferedTopKState) -> BufferedTopKState:
-        def merge_with(wv, wlo, whi):
-            # concat order fixes tie preference: state (oldest) < buffer
-            # (older batches first) < this batch — stable top_k then matches
-            # the heap's earliest-wins-on-equal rule
-            cat_v = jnp.concatenate([st.scores, st.buf_v, wv], axis=1)
-            cat_lo = jnp.concatenate([st.row_lo, st.buf_lo, wlo], axis=1)
-            cat_hi = jnp.concatenate([st.row_hi, st.buf_hi, whi], axis=1)
-            nv, j = jax.lax.top_k(cat_v, k)
-            return (nv, jnp.take_along_axis(cat_lo, j, axis=1),
-                    jnp.take_along_axis(cat_hi, j, axis=1))
-
-        wv, wi, w_exact = topk_ops.strided_top_k_from_bmax(sc, bmax, cand_k,
-                                                           tile_rows=tile_rows)
-        nv, nlo, nhi = merge_with(wv, row_lo[wi], row_hi[wi])
-        # exact iff the wide extraction was itself exact AND nothing outside
-        # it (all <= its min) could strictly beat the new k-th score
-        exact = w_exact & jnp.all(nv[:, -1] > wv[:, -1])
-
-        def fallback(_):
-            # contiguous blocked top-k re-reads sc but is tie-exact always
-            fv, fi = topk_ops.blocked_top_k(sc, k, block=16)
-            return merge_with(fv, row_lo[fi], row_hi[fi])
-
-        nv, nlo, nhi = jax.lax.cond(exact, lambda _: (nv, nlo, nhi),
-                                    fallback, None)
-        return BufferedTopKState(
-            scores=nv, row_lo=nlo, row_hi=nhi,
-            buf_v=jnp.full_like(st.buf_v, -jnp.inf),
-            buf_lo=jnp.zeros_like(st.buf_lo),
-            buf_hi=jnp.zeros_like(st.buf_hi),
-            buf_n=jnp.int32(0), thresh=nv[:, -1])
+        return _flush_merge(st, sc, bmax, tile_rows, row_lo, row_hi, cand_k,
+                            block)
 
     return jax.lax.cond(can_buffer, do_buffer, do_flush, state)
+
+
+# ---------------------------------------------------------------------------
+# Compact scan step: tile-max extraction, no score-matrix materialization
+# ---------------------------------------------------------------------------
+#
+# The buffered step still pays for a full (P, R) score write plus a
+# hierarchical extraction every batch (~3x the GEMM itself). At steady state
+# almost nothing in a batch can displace the carried top-k, so the common
+# case needs far less: the kernel keeps scores in VMEM and emits only, per
+# tile of `tile_rows` k-mers and per column, the TOP-3 (score, lane) pairs
+# and the count of lanes scoring > thresh. The step then takes a top-c over
+# the n_tiles = R/tile_rows tile maxima — thousands of lanes, not millions —
+# and appends those tiles' 3c (value, row) candidates to the side buffer.
+#
+# Exactness: any element that can ever displace the state must STRICTLY beat
+# the final k-th score, which is >= thresh (monotone). The append is a
+# superset of all such elements when, per column,
+#   (a) every NON-kept tile's max <= thresh  (checked via the (c+1)-th kept
+#       tile max), so elements outside the kept tiles are all <= thresh; and
+#   (b) no tile holds >= 4 lanes scoring > thresh (cnt <= 3): the hot lanes
+#       of a tile are a prefix of its sorted order, so <= 3 hot lanes are
+#       always inside the captured top-3; and
+#   (c) the sum-encoded 2nd/3rd lanes are unambiguous wherever their value
+#       is hot (n2/n3 == 1) — a hot tie among the remaining lanes forces the
+#       fallback, so the kernel's unspecified argmax/tie resolution never
+#       matters, and candidates <= thresh are dead weight the flush merge
+#       always drops.
+# Equal-to-thresh elements can never strictly beat a final k-th >= thresh,
+# and the heap's earliest-row preference among kept equals is preserved:
+# hot candidates are buffered in stream order (older batches first; within a
+# batch the 3c candidates are sorted by (value desc, in-batch row asc)), and
+# the flush concat puts the carried state (oldest rows) first. Any violation
+# of to recomputing full scores through the exact
+# wide-merge path — rare once thresh saturates (~K rows seen).
+
+
+def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
+             kernel, tile_rows):
+    """-> per-tile top-3 (tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3,
+    cnt), each (P, T); targ* int32 lanes within the tile, n2/n3 uniqueness
+    guards for the sum-encoded targ2/targ3, cnt int32 lanes > thresh.
+    R % tile_rows == 0. targ2/targ3 are only meaningful when n2/n3 == 1
+    (callers guarantee that whenever the value is hot)."""
+    if kernel == "pallas":
+        from .score import score_batch_t_pallas_tilemax
+        return score_batch_t_pallas_tilemax.__wrapped__(
+            packed, popcnt, y_padded, y_sum, thresh,
+            n_used=n_used, min_count=min_count, tile_rows=tile_rows)
+    sc = _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count)
+    p, r = sc.shape
+    assert r % tile_rows == 0
+    s3 = sc.reshape(p, r // tile_rows, tile_rows)
+    # mirror the kernel's mask-and-reduce formulation (incl. its garbage
+    # sum-encoded lanes on ties) so both paths satisfy identical conditions
+    tmax = jnp.max(s3, axis=2)
+    targ = jnp.argmax(s3, axis=2).astype(jnp.int32)
+    idx = jnp.arange(s3.shape[2], dtype=jnp.int32)[None, None, :]
+    idx_f = idx.astype(jnp.float32)
+
+    def mask_out(s, lane):
+        big = (idx == lane[:, :, None]).astype(jnp.float32) * jnp.float32(-3e38)
+        return s + big + big
+
+    s2 = mask_out(s3, targ)
+    tmax2 = jnp.max(s2, axis=2)
+    eq2 = (s2 == tmax2[:, :, None]).astype(jnp.float32)
+    n2 = jnp.sum(eq2, axis=2).astype(jnp.int32)
+    targ2 = jnp.sum(idx_f * eq2, axis=2).astype(jnp.int32)
+    s3m = mask_out(s2, targ2)
+    tmax3 = jnp.max(s3m, axis=2)
+    eq3 = (s3m == tmax3[:, :, None]).astype(jnp.float32)
+    n3 = jnp.sum(eq3, axis=2).astype(jnp.int32)
+    targ3 = jnp.sum(idx_f * eq3, axis=2).astype(jnp.int32)
+    cnt = jnp.sum(s3 > thresh[:, None, None], axis=2).astype(jnp.int32)
+    return tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt
+
+
+def _flush_merge(st: BufferedTopKState, sc, bmax, tile_rows, row_lo, row_hi,
+                 cand_k: int, block: int = 16) -> BufferedTopKState:
+    """Exact wide merge of (state + buffer + this batch's scores) -> flushed
+    state with an updated thresh. Shared by the buffered step's flush and
+    the compact step's fallback.
+
+    Three extraction tiers, each guarded by an exactness check (post-merge
+    k-th strictly beats everything the extraction left behind): cand_k wide
+    (the common fallback), 4*cand_k wide (early stream, where the carried
+    k-th is still low), and a full exact blocked top-k (the first batch or
+    pathological ties; ~20x the cost of tier 1 — the tiering exists so it
+    runs a couple of times per scan, not tens)."""
+    k = st.scores.shape[1]
+    r = sc.shape[1]
+
+    def merge_with(wv, wlo, whi):
+        # concat order fixes tie preference: state (oldest) < buffer (older
+        # batches first) < this batch — stable top_k then matches the heap's
+        # earliest-wins-on-equal rule
+        cat_v = jnp.concatenate([st.scores, st.buf_v, wv], axis=1)
+        cat_lo = jnp.concatenate([st.row_lo, st.buf_lo, wlo], axis=1)
+        cat_hi = jnp.concatenate([st.row_hi, st.buf_hi, whi], axis=1)
+        nv, j = jax.lax.top_k(cat_v, k)
+        return (nv, jnp.take_along_axis(cat_lo, j, axis=1),
+                jnp.take_along_axis(cat_hi, j, axis=1))
+
+    def tiered(width, deeper):
+        wv, wi, w_exact = topk_ops.strided_top_k_from_bmax(
+            sc, bmax, width, tile_rows=tile_rows)
+        nv, nlo, nhi = merge_with(wv, row_lo[wi], row_hi[wi])
+        exact = (w_exact & jnp.all(nv[:, -1] > wv[:, -1])) | (width >= r)
+        return jax.lax.cond(exact, lambda _: (nv, nlo, nhi), deeper, None)
+
+    def full(_):
+        # contiguous blocked top-k re-reads sc but is tie-exact always
+        fv, fi = topk_ops.blocked_top_k(sc, k, block=block)
+        return merge_with(fv, row_lo[fi], row_hi[fi])
+
+    k2 = min(max(4 * cand_k, 8192), r)
+    nv, nlo, nhi = tiered(min(cand_k, r), lambda _: tiered(k2, full))
+    return BufferedTopKState(
+        scores=nv, row_lo=nlo, row_hi=nhi,
+        buf_v=jnp.full_like(st.buf_v, -jnp.inf),
+        buf_lo=jnp.zeros_like(st.buf_lo),
+        buf_hi=jnp.zeros_like(st.buf_hi),
+        buf_n=jnp.int32(0), thresh=nv[:, -1])
+
+
+def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
+    """Merge the candidate buffer into the carried top-k (no batch involved)
+    and raise thresh to the new k-th score."""
+    k = st.scores.shape[1]
+    cat_v = jnp.concatenate([st.scores, st.buf_v], axis=1)
+    cat_lo = jnp.concatenate([st.row_lo, st.buf_lo], axis=1)
+    cat_hi = jnp.concatenate([st.row_hi, st.buf_hi], axis=1)
+    nv, j = jax.lax.top_k(cat_v, k)
+    return BufferedTopKState(
+        scores=nv,
+        row_lo=jnp.take_along_axis(cat_lo, j, axis=1),
+        row_hi=jnp.take_along_axis(cat_hi, j, axis=1),
+        buf_v=jnp.full_like(st.buf_v, -jnp.inf),
+        buf_lo=jnp.zeros_like(st.buf_lo),
+        buf_hi=jnp.zeros_like(st.buf_hi),
+        buf_n=jnp.int32(0), thresh=nv[:, -1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_used", "min_count", "kernel", "block",
+                                    "cand_c", "cand_k", "tile_rows"))
+def scan_step_compact(state: BufferedTopKState, packed, popcnt,
+                      row_lo, row_hi, y_padded, y_sum, *, n_used: int,
+                      min_count: int, kernel: str = "xla", block: int = 16,
+                      cand_c: int = 128, cand_k: int = 2048,
+                      tile_rows: int = 2048) -> BufferedTopKState:
+    """One streamed batch -> buffered top-k state via the compact tile-max
+    path (see block comment above). Args as scan_step_buffered, plus
+    tile_rows (must divide the padded batch rows). The buffer capacity must
+    be a multiple of 3 * min(cand_c, n_tiles). Semantically identical to
+    scan_step_buffered: same final top-k, same tie handling."""
+    k = state.scores.shape[1]
+    cap = state.buf_v.shape[1]
+    rows = packed.shape[0]
+    assert rows % tile_rows == 0
+    n_tiles = rows // tile_rows
+    c = min(cand_c, n_tiles)
+    assert cap % (3 * c) == 0
+    tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
+        packed, popcnt, y_padded, y_sum, state.thresh,
+        n_used, min_count, kernel, tile_rows)
+    if c < n_tiles:
+        v_all, ti = jax.lax.top_k(tmax, c + 1)
+        v1, ti_c = v_all[:, :c], ti[:, :c]
+        excl_ok = jnp.all(v_all[:, c] <= state.thresh)
+    else:                       # every tile kept: nothing excluded
+        v1, ti_c = jax.lax.top_k(tmax, c)
+        excl_ok = jnp.bool_(True)
+    v2 = jnp.take_along_axis(tmax2, ti_c, axis=1)
+    v3 = jnp.take_along_axis(tmax3, ti_c, axis=1)
+    g1 = ti_c * tile_rows + jnp.take_along_axis(targ, ti_c, axis=1)
+    g2 = ti_c * tile_rows + jnp.take_along_axis(targ2, ti_c, axis=1)
+    g3 = ti_c * tile_rows + jnp.take_along_axis(targ3, ti_c, axis=1)
+    # 3c candidates per batch (each kept tile's top-3); sort by
+    # (value desc, in-batch lane asc) so equal values keep ascending-row
+    # order in the buffer — the heap's earliest-wins tie rule
+    cat_v = jnp.concatenate([v1, v2, v3], axis=1)
+    cat_g = jnp.minimum(jnp.concatenate([g1, g2, g3], axis=1), rows - 1)
+    neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
+    v = -neg_v
+    blo, bhi = row_lo[g_s], row_hi[g_s]
+    # exact iff: excluded tiles are cold, no tile has > 3 hot lanes, and the
+    # sum-encoded 2nd/3rd lanes are unambiguous wherever their value is hot
+    th2 = state.thresh[:, None]
+    ok = (excl_ok & jnp.all(cnt <= 3)
+          & jnp.all((tmax2 <= th2) | (n2 == 1))
+          & jnp.all((tmax3 <= th2) | (n3 == 1)))
+
+    # flush BEFORE appending if the buffer is full; thresh only rises, so the
+    # `ok` decision made against the older (lower) thresh stays conservative
+    state = jax.lax.cond(state.buf_n + 3 * c > cap, _flush_state_only,
+                         lambda s: s, state)
+
+    def do_append(st: BufferedTopKState) -> BufferedTopKState:
+        at = (jnp.int32(0), st.buf_n)
+        return st._replace(
+            buf_v=jax.lax.dynamic_update_slice(st.buf_v, v, at),
+            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, blo, at),
+            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, bhi, at),
+            buf_n=st.buf_n + 3 * c)
+
+    def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
+        # hot batch: recompute full scores and run the exact wide merge
+        sc, bmax, tr = _scores_and_bmax(packed, popcnt, y_padded, y_sum,
+                                        n_used, min_count, kernel, block)
+        return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
+                            min(cand_k, sc.shape[1]), block)
+
+    return jax.lax.cond(ok, do_append, do_fallback, state)
 
 
 @functools.partial(jax.jit,

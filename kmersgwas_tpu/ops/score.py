@@ -212,6 +212,134 @@ def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
     return sc[:p], bmax[:p]
 
 
+def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
+                            tmax_ref, targ_ref, tmax2_ref, targ2_ref,
+                            tmax3_ref, targ3_ref, n2_ref, n3_ref,
+                            cnt_ref, *, n_used: int, min_count: int):
+    w = packed_ref[...]                                   # (W32, TR) uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
+    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    n = jnp.float32(n_used)
+    n1 = pop_ref[...]                                     # (1, TR)
+    r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= jnp.float32(min_count)) & ((n - n1) >= jnp.float32(min_count))
+    score = jnp.where(ok, score, 0.0)
+    score = jnp.where(n1 > 0, score, -jnp.inf)            # popcnt==0 = padding
+    # Per-column tile TOP-3 (values + lanes) + hot count + tie guards:
+    #   m1/a1: native max + argmax. The argmax tie rule is unspecified in
+    #     Mosaic; that is sufficient — a candidate only enters the final
+    #     top-k when its value strictly exceeds thresh, and the caller's
+    #     cnt <= 3 fallback plus the captures below cover every such lane.
+    #     Candidates <= thresh are dead weight the flush merge drops.
+    #   m2/a2 (and m3/a3): the previous lane is pushed to -inf
+    #     ARITHMETICALLY (two adds of -3e38 overflow to -inf; where/select
+    #     or fold chains fed by a computed broadcast hang the Mosaic
+    #     compiler), then a native max; the lane is sum-encoded (sum of idx
+    #     over lanes equal to the masked max) — exact whenever that value is
+    #     unique among the remaining lanes, which n2/n3 report so the caller
+    #     can fall back on ambiguity (n_i > 1 while m_i > thresh).
+    m1 = jnp.max(score, axis=1, keepdims=True)
+    a1 = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    idx_f = idx.astype(jnp.float32)
+    big = (idx == a1).astype(jnp.float32) * jnp.float32(-3e38)
+    score2 = score + big + big
+    m2 = jnp.max(score2, axis=1, keepdims=True)
+    eq2 = (score2 == m2).astype(jnp.float32)
+    n2 = jnp.sum(eq2, axis=1, keepdims=True).astype(jnp.int32)
+    a2 = jnp.sum(idx_f * eq2, axis=1, keepdims=True).astype(jnp.int32)
+    big2 = (idx == a2).astype(jnp.float32) * jnp.float32(-3e38)
+    score3 = score2 + big2 + big2
+    m3 = jnp.max(score3, axis=1, keepdims=True)
+    eq3 = (score3 == m3).astype(jnp.float32)
+    n3 = jnp.sum(eq3, axis=1, keepdims=True).astype(jnp.int32)
+    a3 = jnp.sum(idx_f * eq3, axis=1, keepdims=True).astype(jnp.int32)
+    cnt = jnp.sum((score > th_ref[...]).astype(jnp.int32),
+                  axis=1, keepdims=True)
+    # outputs are whole-array blocks resident in VMEM across the grid
+    # (1-lane blocks are not lowerable, nor are unaligned dynamic lane
+    # stores); program t masked-updates lane t%128 of its 128-lane-aligned
+    # output tile — the aligned dynamic store Mosaic can prove
+    t = pl.program_id(0)
+    base = pl.multiple_of((t // 128) * 128, 128)
+    p_pad = m1.shape[0]
+    hit = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (p_pad, 128), 1) == t % 128,
+        (p_pad, 128))
+    sl = pl.ds(base, 128)
+    for ref, val in ((tmax_ref, m1), (targ_ref, a1), (tmax2_ref, m2),
+                     (targ2_ref, a2), (tmax3_ref, m3), (targ3_ref, a3),
+                     (n2_ref, n2), (n3_ref, n3), (cnt_ref, cnt)):
+        ref[:, sl] = jnp.where(hit, jnp.broadcast_to(val, (p_pad, 128)),
+                               ref[:, sl])
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count",
+                                             "tile_rows"))
+def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
+                                 n_used: int, min_count: int,
+                                 tile_rows: int = 2048):
+    """Compact scan kernel: scores stay in VMEM; only nine (P, n_tiles)
+    planes reach HBM — the per-tile TOP-3 score values with their lanes,
+    uniqueness guards n2/n3, and the count of lanes scoring > thresh[p].
+
+    This is the steady-state fast path of the scan: the (P, R) score matrix
+    (~0.9 GB per 2M-row batch) is never written, and extraction shrinks to a
+    top-k over n_tiles = R/tile_rows lanes. Exactness bookkeeping lives in
+    ops/scanstep.scan_step_compact.
+
+    packed (R, W32) uint32, popcnt (R,) f32, y_padded (N_pad, P) f32,
+    thresh (P,) f32 per-column displacement threshold. R % tile_rows == 0.
+    Returns (tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt), each
+    (P, T); targ* are int32 lanes within the tile (targ2/targ3 are only
+    meaningful when n2/n3 == 1 — the caller falls back otherwise whenever
+    the value is hot).
+    """
+    rows, w32 = packed.shape
+    n_pad, p = y_padded.shape
+    assert n_pad == w32 * 32 and rows % tile_rows == 0
+    p_pad = ((p + 7) // 8) * 8
+    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
+    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
+    th = jnp.full((p_pad, 1), -jnp.inf, jnp.float32).at[:p, 0].set(thresh)
+    packed_t = packed.T                                   # (W32, R)
+    pop2 = popcnt[None, :]                                # (1, R)
+    n_tiles = rows // tile_rows
+    # lane dim of the outputs padded to the 128-lane store alignment; the
+    # padding lanes are never written (uninitialized) and masked off below
+    nt_pad = ((n_tiles + 127) // 128) * 128
+    grid = (n_tiles,)
+    out_dtypes = [jnp.float32, jnp.int32, jnp.float32, jnp.int32,
+                  jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
+    outs = pl.pallas_call(
+        functools.partial(_score_t_tilemax_kernel, n_used=n_used,
+                          min_count=min_count),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((p_pad, nt_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * 9,
+        out_shape=[jax.ShapeDtypeStruct((p_pad, nt_pad), d)
+                   for d in out_dtypes],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * n_pad * p_pad,
+            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4
+            + 9 * nt_pad * p_pad * 4,
+            transcendentals=0,
+        ),
+    )(packed_t, pop2, yt, ysum, th)
+    return tuple(o[:p, :n_tiles] for o in outs)
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------

@@ -166,6 +166,43 @@ def build_sharded_scan_step_buffered(mesh: Mesh, *, n_used: int,
     return step
 
 
+def build_sharded_scan_step_compact(mesh: Mesh, *, n_used: int,
+                                    min_count: int, kernel: str = "xla",
+                                    block: int = 16, cand_c: int = 256,
+                                    cand_k: int = 2048, tile_rows: int = 2048):
+    """THE production multi-device scan step: the compact tile-max kernel +
+    deferred top-k buffering (ops/scanstep.scan_step_compact) running
+    independently on every device's row shard under `shard_map`. Same
+    state/finalize contract as build_sharded_scan_step_buffered: no
+    per-step collectives; the exact global top-k emerges at
+    `finalize_sharded_buffered`."""
+    from ..ops import scanstep as ss
+
+    def local_step(sc, rlo, rhi, bv, blo, bhi, bn, th,
+                   packed, popcnt, lo, hi, yp, ysum):
+        state = ss.BufferedTopKState(sc[0], rlo[0], rhi[0], bv[0], blo[0],
+                                     bhi[0], bn[0], th[0])
+        new = ss.scan_step_compact.__wrapped__(
+            state, packed, popcnt, lo, hi, yp, ysum, n_used=n_used,
+            min_count=min_count, kernel=kernel, block=block,
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile_rows)
+        return tuple(x[None] for x in new)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS),) * 8 + (P(AXIS),) * 4 + (P(), P()),
+        out_specs=(P(AXIS),) * 8,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, packed, popcnt, lo, hi, yp, ysum):
+        out = sharded(*state, packed, popcnt, lo, hi, yp, ysum)
+        return ss.BufferedTopKState(*out)
+
+    return step
+
+
 def _merge_candidates(all_v, all_lo, all_hi, k: int) -> list:
     """(P, D, K+C) candidate planes -> per-phenotype exact top-k under the
     total order (-score, row asc) — the reference heap's effective order

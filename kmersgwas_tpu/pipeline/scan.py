@@ -159,32 +159,33 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         if resumed is not None and resumed[3] == stream_tag:
             resumed_plain, start_row, n_tested = resumed[:3]
     # fixed device shape: pad every batch to batch_size (rounded up for the
-    # pallas tile and the device count) so jit compiles exactly one program;
-    # padding rows carry popcnt == 0 and score -inf inside the step
-    tile = 2048 if kernel == "pallas" else 1
+    # compact step's tile and the device count) so jit compiles exactly one
+    # program; padding rows carry popcnt == 0 and score -inf inside the step
+    tile = 2048 if kernel == "pallas" else 128
     quantum = n_devices * tile
     pad_to = ((batch_size + quantum - 1) // quantum) * quantum
 
-    # buffered deferred-merge parameters: per-batch candidate width, wide
-    # extraction for flush batches, buffer capacity (flush every 8 batches)
+    # compact-step parameters: per-batch candidate width (tile maxima kept),
+    # wide extraction width for hot-batch fallbacks, buffer capacity (a
+    # state flush every 16 appended batches)
     shard_rows = pad_to // n_devices
-    cand_c = min(512, k_eff, shard_rows)
+    cand_c = min(256, k_eff, shard_rows // tile)
     cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
     if use_sharded:
         from ..parallel import sharding as shard_mod
         from jax.sharding import NamedSharding, PartitionSpec as _P
         state = shard_mod.init_sharded_buffered_state(
-            mesh, p, k_eff, buf_cap=cand_c * 8, seed_state=resumed_plain)
-        step_fn = shard_mod.build_sharded_scan_step_buffered(
+            mesh, p, k_eff, buf_cap=cand_c * 24, seed_state=resumed_plain)
+        step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile)
         batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
         rep = NamedSharding(mesh, _P())
         yp = jax.device_put(np.asarray(yp), rep)
         ysum = jax.device_put(np.asarray(ysum), rep)
         put = lambda a: jax.device_put(a, batch_sharding)
     else:
-        state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 8)
+        state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 24)
         if resumed_plain is not None:
             state = state._replace(scores=resumed_plain.scores,
                                    row_lo=resumed_plain.row_lo,
@@ -236,10 +237,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         if use_sharded:
             return step_fn(st, put(packed), put(popcnt), put(lo), put(hi),
                            yp, ysum)
-        return ss.scan_step_buffered(
+        return ss.scan_step_compact(
             st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
             n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile)
 
     def plain_state(st):
         if use_sharded:

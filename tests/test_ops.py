@@ -290,3 +290,108 @@ def test_scan_step_buffered_multi_matches_sequential():
         jnp.asarray(popcnt), jnp.asarray(los), jnp.asarray(his), **kw)
     for a, b_ in zip(s_seq, s_multi):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_scan_step_compact_matches_plain():
+    """Compact tile-max scan must produce exactly the plain path's final
+    top-k (values AND rows) across a long tie-heavy stream, exercising the
+    append, buffer-full-flush, and hot-batch-fallback branches, at both
+    c == n_tiles and c < n_tiles."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(15)
+    n, p, k = 40, 3, 16
+    n_pad = 128
+    rows_per, n_batches = 256, 24
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    batches = []
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        batches.append((packed, pc, jnp.asarray(lo), jnp.asarray(hi)))
+
+    state_p = topk.init_state(p, k)
+    for packed, pc, lo, hi in batches:
+        state_p = scanstep.scan_step(state_p, packed, pc, lo, hi, yp, ysum,
+                                     n_used=n, min_count=min_count,
+                                     kernel="xla", cand_k=8)
+
+    for tile_rows in (64, 16):      # c == n_tiles and c < n_tiles
+        state_c = scanstep.init_buffered_state(p, k, buf_cap=24)
+        n_append = 0
+        for packed, pc, lo, hi in batches:
+            prev_n = int(state_c.buf_n)
+            state_c = scanstep.scan_step_compact(
+                state_c, packed, pc, lo, hi, yp, ysum, n_used=n,
+                min_count=min_count, kernel="xla", cand_c=4, cand_k=12,
+                tile_rows=tile_rows)
+            if int(state_c.buf_n) > prev_n:
+                n_append += 1
+        assert n_append >= 5, "compact append path never engaged"
+        assert n_append < n_batches, "fallback path never engaged"
+        final_c = scanstep.flush_buffered(state_c)
+        np.testing.assert_array_equal(np.asarray(state_p.scores),
+                                      np.asarray(final_c.scores))
+        np.testing.assert_array_equal(
+            topk.decode_rows(np.asarray(state_p.row_lo),
+                             np.asarray(state_p.row_hi)),
+            topk.decode_rows(np.asarray(final_c.row_lo),
+                             np.asarray(final_c.row_hi)))
+
+
+def test_score_tilemax_pallas_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(16)
+    bits, packed, y, n_pad = rand_problem(rng, r=256, n=100, p=3)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    # tie-heavy thresholds: include -inf, a mid quantile, and +inf
+    sc_ref = np.asarray(score.score_batch(jnp.asarray(packed), pc, yp, ysum,
+                                          n_used=n, min_count=2)).T
+    sc_ref = np.where(np.asarray(pc)[None, :] > 0, sc_ref, -np.inf)
+    for th_val in (-np.inf, np.quantile(sc_ref, 0.9), np.inf):
+        th = jnp.full((3,), th_val, jnp.float32)
+        tm_x, ta_x, tm2_x, ta2_x, tm3_x, ta3_x, n2_x, n3_x, ct_x = \
+            scanstep._tilemax(
+                jnp.asarray(packed), pc, yp, ysum, th, n, 2, "xla", 64)
+        with pltpu.force_tpu_interpret_mode():
+            (tm_p, ta_p, tm2_p, ta2_p, tm3_p, ta3_p, n2_p, n3_p, ct_p) = \
+                score.score_batch_t_pallas_tilemax(
+                    jnp.asarray(packed), pc, yp, ysum, th,
+                    n_used=n, min_count=2, tile_rows=64)
+        np.testing.assert_allclose(np.asarray(tm_p), np.asarray(tm_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tm2_p), np.asarray(tm2_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tm3_p), np.asarray(tm3_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
+        np.testing.assert_array_equal(np.asarray(n2_p), np.asarray(n2_x))
+        # lanes: the captured value at each returned lane must be genuine;
+        # tie resolution between implementations is free to differ
+        s3 = np.where(np.asarray(pc)[None, :] > 0, sc_ref,
+                      -np.inf).reshape(3, -1, 64)
+        for ta, tm in ((ta_p, tm_p), (ta_x, tm_x)):
+            picked = np.take_along_axis(s3, np.asarray(ta)[:, :, None],
+                                        axis=2)[:, :, 0]
+            np.testing.assert_allclose(picked, np.asarray(tm),
+                                       rtol=1e-5, atol=1e-5)
+        # second lane must differ from the first and hold the second value
+        # wherever the second value is unique and below the max
+        srt = np.sort(s3, axis=2)[:, :, ::-1]
+        uniq = (srt[:, :, 0] > srt[:, :, 1]) & (srt[:, :, 1] > srt[:, :, 2])
+        for ta2, tm2 in ((ta2_p, tm2_p), (ta2_x, tm2_x)):
+            picked2 = np.take_along_axis(
+                s3, np.clip(np.asarray(ta2), 0, 63)[:, :, None],
+                axis=2)[:, :, 0]
+            np.testing.assert_allclose(picked2[uniq],
+                                       np.asarray(tm2)[uniq],
+                                       rtol=1e-5, atol=1e-5)
