@@ -225,7 +225,7 @@ def scan_step_buffered(state: BufferedTopKState, packed, popcnt,
 # hot candidates are buffered in stream order (older batches first; within a
 # batch the 3c candidates are sorted by (value desc, in-batch row asc)), and
 # the flush concat puts the carried state (oldest rows) first. Any violation
-# of to recomputing full scores through the exact
+# of (a)-(c) falls back to recomputing full scores through the exact
 # wide-merge path — rare once thresh saturates (~K rows seen).
 
 

@@ -197,10 +197,114 @@ def mle(y, K, X=None) -> REMLEResult:
 # ---------------------------------------------------------------------------
 # Remaining emma.R public surface (pipeline-unused, kept for API parity):
 # emma.kinship (emma.R:1-47), emma.ML.LRT (emma.R:495-741),
-# emma.REML.t (emma.R:1013-1274). Implemented for the no-Z, complete-data
-# configuration (the only one the reference ecosystem exercises), vectorized
-# over variants instead of R's row loops.
+# emma.REML.t (emma.R:1013-1274), for the no-Z configuration.
+#
+# R's loops do a fresh O(n^3) eigen_R(K, [1, x]) per variant (emma.R:574-580,
+# 1139-1145). Here the per-variant eigendecomposition is eliminated with the
+# standard rotated-REML identities: with H = K + delta*I and K = U Xi U'
+# eigendecomposed ONCE,
+#
+#   sum_i etas_i^2/(lam_i+delta)  =  y'Py
+#       where P = Hinv - Hinv X (X'Hinv X)^-1 X'Hinv, and
+#   prod_i (lam_i+delta)          =  |H| |X'Hinv X| / |X'X|
+#
+# (lam_i, etas = the eigen_R system of S(K+I)S). In the rotated basis every
+# quantity is an O(n q^2) weighted sum with weights w = 1/(xi+delta), so the
+# grid + bisection search vmaps cleanly over (variants, phenotypes); dLL is
+# jax.grad of the same expression (identical roots). Missing data follows
+# R's semantics by subsetting individuals (per-phenotype-row for NAs in ys,
+# per-variant for NAs in xs) and re-running the same machinery on the subset.
 # ---------------------------------------------------------------------------
+
+
+def _rot_stats(logdelta, xi, Xt, yt):
+    """Weighted stats at one delta in the K-eigenbasis: w = 1/(xi+delta),
+    G = X'Hinv X, r = X'Hinv y, beta = G^-1 r, yPy = y'Py."""
+    delta = jnp.exp(logdelta)
+    w = 1.0 / (xi + delta)
+    Xw = Xt * w[:, None]
+    G = Xt.T @ Xw                                    # (q, q)
+    r = Xw.T @ yt                                    # (q,)
+    beta = jnp.linalg.solve(G, r)
+    yPy = jnp.sum(w * yt * yt) - r @ beta
+    return w, G, beta, yPy
+
+
+def _reml_ll_rot(logdelta, xi, Xt, yt, logdet_XtX):
+    """Restricted LL at log-delta — equal to emma.R:145-149 evaluated on the
+    eigen_R system of S(K+I)S with X = the columns of Xt (rotated)."""
+    n, q = Xt.shape
+    nq = n - q
+    delta = jnp.exp(logdelta)
+    w, G, beta, yPy = _rot_stats(logdelta, xi, Xt, yt)
+    _, logdetG = jnp.linalg.slogdet(G)
+    logdetSHS = jnp.sum(jnp.log(xi + delta)) + logdetG - logdet_XtX
+    return 0.5 * (nq * (jnp.log(nq / (2 * jnp.pi)) - 1.0 - jnp.log(yPy))
+                  - logdetSHS)
+
+
+def _ml_ll_rot(logdelta, xi, Xt, yt):
+    """Full-ML LL at log-delta (emma.R:120-124 on the rotated system)."""
+    n = Xt.shape[0]
+    delta = jnp.exp(logdelta)
+    _, _, _, yPy = _rot_stats(logdelta, xi, Xt, yt)
+    return 0.5 * (n * (jnp.log(n / (2 * jnp.pi)) - 1.0 - jnp.log(yPy))
+                  - jnp.sum(jnp.log(xi + delta)))
+
+
+def _grid_opt_rot(ll_fn, llim, ulim, esp, ngrids, n_bisect, n_cells=8):
+    """Grid + sign-change bisection maximizer of ll_fn(logdelta) — the same
+    search as remle_from_eigen (emma.R:414-452) with dLL = jax.grad(ll_fn).
+    Up to n_cells sign-change cells are refined (R refines every one; more
+    than a few stationary points never occur for these likelihoods)."""
+    dll_fn = jax.grad(ll_fn)
+    logdelta = jnp.linspace(llim, ulim, ngrids + 1)
+    dll = jax.vmap(dll_fn)(logdelta)
+    lo0, hi0 = logdelta[:-1], logdelta[1:]
+    cell_ok = (dll[:-1] * dll[1:] < -esp * esp) & (dll[:-1] > 0) & (dll[1:] < 0)
+    # first n_cells sign-change cells, ascending (top_k on ok minus index)
+    sel = jnp.argsort(jnp.where(cell_ok, jnp.arange(ngrids),
+                                ngrids + jnp.arange(ngrids)))[:n_cells]
+    sel_ok = cell_ok[sel]
+
+    def bisect(lo, hi):
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            d = dll_fn(mid)
+            return jnp.where(d > 0, mid, lo), jnp.where(d > 0, hi, mid)
+        lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    roots = jax.vmap(bisect)(lo0[sel], hi0[sel])
+    cand = jnp.concatenate([jnp.array([llim, ulim]), roots])
+    cand_ll = jax.vmap(ll_fn)(cand)
+    cand_ok = jnp.concatenate([
+        jnp.array([dll[0] < esp, dll[-1] > -esp]), sel_ok])
+    masked = jnp.where(cand_ok, cand_ll, -jnp.inf)
+    best = jnp.argmax(masked)
+    return cand[best], masked[best]
+
+
+def _remle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect) -> REMLEResult:
+    n, q = Xt.shape
+    _, logdet_XtX = jnp.linalg.slogdet(Xt.T @ Xt)
+    ll_fn = lambda g: _reml_ll_rot(g, xi, Xt, yt, logdet_XtX)
+    best, ll = _grid_opt_rot(ll_fn, llim, ulim, esp, ngrids, n_bisect)
+    delta = jnp.exp(best)
+    _, _, _, yPy = _rot_stats(best, xi, Xt, yt)
+    vg = yPy / (n - q)
+    return REMLEResult(reml_ll=ll, delta=delta, vg=vg, ve=vg * delta)
+
+
+def _mle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect) -> REMLEResult:
+    n = Xt.shape[0]
+    ll_fn = lambda g: _ml_ll_rot(g, xi, Xt, yt)
+    best, ll = _grid_opt_rot(ll_fn, llim, ulim, esp, ngrids, n_bisect)
+    delta = jnp.exp(best)
+    _, _, _, yPy = _rot_stats(best, xi, Xt, yt)
+    vg = yPy / n
+    return REMLEResult(reml_ll=ll, delta=delta, vg=vg, ve=vg * delta)
 
 def emma_kinship(snps, method: str = "additive", use: str = "all"):
     """emma.kinship: SNP matrix (m markers x n individuals, values in
@@ -239,50 +343,96 @@ def emma_kinship(snps, method: str = "additive", use: str = "all"):
     return K.at[jnp.arange(n), jnp.arange(n)].set(1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
+def _ml_lrt_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
+    """Vectorized core of emma.ML.LRT for complete data: one eigh(K), then
+    alt-model MLEs vmapped over (variants, phenotypes). Returns
+    (ml1 (m,g), vg (m,g), ve (m,g), ml0 (g,))."""
+    esp = 1e-10
+    xi, U = jnp.linalg.eigh(K)                       # order irrelevant here
+    yts = ys @ U                                     # (g, n)
+    xts = xs @ U                                     # (m, n)
+    onet = jnp.sum(U, axis=0)                        # U' 1
+
+    def null_one(yt):
+        r = _mle_rot(xi, onet[:, None], yt, llim, ulim, esp, ngrids, n_bisect)
+        return r.reml_ll
+
+    ml0 = jax.vmap(null_one)(yts)                    # (g,)
+
+    def alt_one(xt, yt):
+        Xt = jnp.stack([onet, xt], axis=1)
+        r = _mle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
+        return r.reml_ll, r.vg, r.ve
+
+    ml1, vg, ve = jax.vmap(lambda xt: jax.vmap(
+        lambda yt: alt_one(xt, yt))(yts))(xts)       # (m, g) each
+    return ml1, vg, ve, ml0
+
+
 def emma_ML_LRT(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
-                ulim: float = 10.0):
-    """emma.ML.LRT: per-variant ML likelihood-ratio test.
+                ulim: float = 10.0, n_bisect: int = 60):
+    """emma.ML.LRT: per-variant ML likelihood-ratio test (emma.R:495-741).
 
     ys (g, n) or (n,) phenotypes, xs (m, n) variants, K (n, n). Returns a
-    dict with ps/stats/ML1s/ML0s/vgs/ves shaped (m, g). Monomorphic
-    variants get p = 1 (emma.R:541-555); complete data, no Z."""
+    dict with ps/stats/ML1s/ML0s/vgs/ves shaped (m, g). Monomorphic variants
+    get p = 1 (emma.R:541-555). No per-variant eigendecomposition: one
+    eigh(K) + rotated likelihoods, vmapped over (m, g). Missing data (NaN)
+    follows R's subsetting semantics: NaNs in a ys row re-run the complete
+    core on that row's complete individuals (emma.R:611-614); NaNs in an xs
+    row additionally subset per variant (emma.R:683-691, O(n^3) each — rare
+    rows only)."""
+    import numpy as _np
+    from .lmm import chi2_sf_df1
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     ys = jnp.atleast_2d(jnp.asarray(ys, dt))
     xs = jnp.atleast_2d(jnp.asarray(xs, dt))
     K = jnp.asarray(K, dt)
-    n = ys.shape[1]
-    X0 = jnp.ones((n, 1), dt)
-    xi = jnp.linalg.eigvalsh(K)[::-1]
-    lam0, vec0 = eigen_R(K, X0)
+    m, g = xs.shape[0], ys.shape[0]
 
-    ml0 = jnp.stack([mle_from_eigen(vec0.T @ y, lam0, xi,
-                                    llim=llim, ulim=ulim, ngrids=ngrids).reml_ll
-                     for y in ys])                               # (g,)
+    ys_na = _np.isnan(_np.asarray(ys))
+    xs_na = _np.isnan(_np.asarray(xs))
 
-    def per_variant(x):
-        X = jnp.column_stack([X0, x])
-        lam1, vec1 = eigen_R(K, X)
-        res = [mle_from_eigen(vec1.T @ y, lam1, xi, llim=llim, ulim=ulim,
-                              ngrids=ngrids) for y in ys]
-        ml1 = jnp.stack([r.reml_ll for r in res])
-        vg = jnp.stack([r.vg for r in res])
-        ve = jnp.stack([r.ve for r in res])
-        return ml1, vg, ve
+    def run_rows(ys_sub, xs_sub, K_sub):
+        ml1, vg, ve, ml0 = _ml_lrt_complete(ys_sub, xs_sub, K_sub,
+                                            llim, ulim, ngrids, n_bisect)
+        return ml1, vg, ve, jnp.broadcast_to(ml0[None, :], ml1.shape)
 
-    from .lmm import chi2_sf_df1
-    ml1s, vgs, ves, stats_, ps = [], [], [], [], []
-    for x in xs:
-        mono = (jnp.mean(x) <= 0) | (jnp.mean(x) >= 1)
-        ml1, vg, ve = per_variant(x)
-        stat = jnp.where(mono, jnp.nan, 2.0 * (ml1 - ml0))
-        ps.append(jnp.where(mono, 1.0, chi2_sf_df1(jnp.maximum(stat, 0.0))))
-        stats_.append(stat)
-        ml1s.append(jnp.where(mono, jnp.nan, ml1))
-        vgs.append(jnp.where(mono, jnp.nan, vg))
-        ves.append(jnp.where(mono, jnp.nan, ve))
-    return {"ps": jnp.stack(ps), "stats": jnp.stack(stats_),
-            "ML1s": jnp.stack(ml1s), "ML0s": jnp.broadcast_to(ml0, (len(xs), ys.shape[0])),
-            "vgs": jnp.stack(vgs), "ves": jnp.stack(ves)}
+    if not ys_na.any() and not xs_na.any():
+        ml1, vg, ve, ml0 = run_rows(ys, xs, K)
+    else:
+        # per-phenotype-row subsets (g is small; m stays vectorized)
+        cols = []
+        for j in range(g):
+            vids = ~ys_na[j]
+            yj = ys[j, vids][None, :]
+            Kj = K[_np.ix_(vids, vids)]
+            clean = ~xs_na[:, vids].any(axis=1)
+            o_ml1 = _np.full((m,), _np.nan)
+            o_vg, o_ve, o_ml0 = o_ml1.copy(), o_ml1.copy(), o_ml1.copy()
+            if clean.any():
+                r = run_rows(yj, xs[_np.flatnonzero(clean)][:, vids], Kj)
+                for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
+                    o[clean] = _np.asarray(v)[:, 0]
+            for i in _np.flatnonzero(~clean):         # NA variants: subset each
+                vv = vids & ~xs_na[i]
+                r = run_rows(ys[j, vv][None, :], xs[i, vv][None, :],
+                             K[_np.ix_(vv, vv)])
+                o_ml1[i], o_vg[i], o_ve[i], o_ml0[i] = (
+                    float(_np.asarray(v)[0, 0]) for v in r)
+            cols.append((o_ml1, o_vg, o_ve, o_ml0))
+        ml1, vg, ve, ml0 = (jnp.asarray(_np.stack([c[t] for c in cols], axis=1),
+                                        dt) for t in range(4))
+
+    x_mean = jnp.nanmean(xs, axis=1)
+    mono = ((x_mean <= 0) | (x_mean >= 1))[:, None]  # (m, 1)
+    stat = jnp.where(mono, jnp.nan, 2.0 * (ml1 - ml0))
+    return {"ps": jnp.where(mono, 1.0, chi2_sf_df1(jnp.maximum(stat, 0.0))),
+            "stats": stat,
+            "ML1s": jnp.where(mono, jnp.nan, ml1),
+            "ML0s": ml0,
+            "vgs": jnp.where(mono, jnp.nan, vg),
+            "ves": jnp.where(mono, jnp.nan, ve)}
 
 
 def _t_sf(t, df):
@@ -292,53 +442,87 @@ def _t_sf(t, df):
     return 0.5 * betainc(df / 2.0, 0.5, x)
 
 
-def emma_REML_t(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
-                ulim: float = 10.0):
-    """emma.REML.t: per-variant REML Wald t-test.
+@functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
+def _reml_t_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
+    """Vectorized core of emma.REML.t for complete data. Per (variant,
+    phenotype): REMLE under X = [1, x] in the K-eigenbasis, then the Wald
+    stat = beta_x / sqrt((X'Hinv X)^-1[1,1] vg) — identical to rotating by
+    U = Q diag(1/sqrt(xi+delta)) (emma.R:1089-1101, 1160-1164) since
+    Xt'Xt there equals X'Hinv X here. Returns (stat, vg, ve, reml), (m,g)."""
+    esp = 1e-10
+    xi, U = jnp.linalg.eigh(K)
+    yts = ys @ U
+    xts = xs @ U
+    onet = jnp.sum(U, axis=0)
 
-    Per variant: REMLE under X = [1, x]; rotate by U = Q diag(1/sqrt(xi +
-    delta)) from the unrestricted eigendecomposition (emma.R:1089-1101);
-    stat = beta / sqrt(iXX[q,q] vg); p = 2 P(T_{n-2} > |stat|)
-    (emma.R:1263). Monomorphic variants get p = 1."""
+    def one(xt, yt):
+        Xt = jnp.stack([onet, xt], axis=1)
+        res = _remle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
+        _, G, beta, _ = _rot_stats(jnp.log(res.delta), xi, Xt, yt)
+        iXX11 = jnp.linalg.inv(G)[1, 1]
+        stat = beta[1] / jnp.sqrt(iXX11 * res.vg)
+        return stat, res.vg, res.ve, res.reml_ll
+
+    return jax.vmap(lambda xt: jax.vmap(lambda yt: one(xt, yt))(yts))(xts)
+
+
+def emma_REML_t(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
+                ulim: float = 10.0, n_bisect: int = 60):
+    """emma.REML.t: per-variant REML Wald t-test (emma.R:1013-1274).
+
+    stat = beta / sqrt(iXX[q,q] vg); p = 2 P(T_{n-2} > |stat|) (emma.R:1263).
+    Monomorphic variants get p = 1. One eigh(K) + rotated likelihoods,
+    vmapped over (m, g); NaN handling as in emma_ML_LRT (subset semantics)."""
+    import numpy as _np
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     ys = jnp.atleast_2d(jnp.asarray(ys, dt))
     xs = jnp.atleast_2d(jnp.asarray(xs, dt))
     K = jnp.asarray(K, dt)
+    m, g = xs.shape[0], ys.shape[0]
     n = ys.shape[1]
     q1 = 2
-    X0 = jnp.ones((n, 1), dt)
-    xi, Q = jnp.linalg.eigh(K)
-    xi, Q = xi[::-1], Q[:, ::-1]
 
-    out_stats, out_ps, out_vgs, out_ves, out_remls = [], [], [], [], []
-    for x in xs:
-        mono = (jnp.mean(x) <= 0) | (jnp.mean(x) >= 1)
-        X = jnp.column_stack([X0, x])
-        lam1, vec1 = eigen_R(K, X)
-        st_j, p_j, vg_j, ve_j, reml_j = [], [], [], [], []
-        for y in ys:
-            res = remle_from_eigen(vec1.T @ y, lam1, llim=llim, ulim=ulim,
-                                   ngrids=ngrids)
-            U = Q * jnp.sqrt(1.0 / (xi + res.delta))[None, :]
-            yt = U.T @ y
-            Xt = U.T @ X
-            iXX = jnp.linalg.inv(Xt.T @ Xt)
-            beta = iXX @ (Xt.T @ yt)
-            stat = beta[q1 - 1] / jnp.sqrt(iXX[q1 - 1, q1 - 1] * res.vg)
-            st_j.append(stat)
-            p_j.append(2.0 * _t_sf(jnp.abs(stat), jnp.asarray(n - q1, dt)))
-            vg_j.append(res.vg)
-            ve_j.append(res.ve)
-            reml_j.append(res.reml_ll)
-        out_stats.append(jnp.where(mono, jnp.nan, jnp.stack(st_j)))
-        out_ps.append(jnp.where(mono, 1.0, jnp.stack(p_j)))
-        out_vgs.append(jnp.where(mono, jnp.nan, jnp.stack(vg_j)))
-        out_ves.append(jnp.where(mono, jnp.nan, jnp.stack(ve_j)))
-        out_remls.append(jnp.where(mono, jnp.nan, jnp.stack(reml_j)))
-    return {"ps": jnp.stack(out_ps), "stats": jnp.stack(out_stats),
-            "vgs": jnp.stack(out_vgs), "ves": jnp.stack(out_ves),
-            "REMLs": jnp.stack(out_remls), "dfs": jnp.full((len(xs), ys.shape[0]),
-                                                           n - q1, dt)}
+    ys_na = _np.isnan(_np.asarray(ys))
+    xs_na = _np.isnan(_np.asarray(xs))
+
+    if not ys_na.any() and not xs_na.any():
+        stat, vg, ve, reml = _reml_t_complete(ys, xs, K, llim, ulim,
+                                              ngrids, n_bisect)
+        dfs = jnp.full((m, g), n - q1, dt)
+    else:
+        o_stat = _np.full((m, g), _np.nan)
+        o_vg, o_ve, o_reml, o_dfs = (o_stat.copy() for _ in range(4))
+        for j in range(g):
+            vids = ~ys_na[j]
+            yj = ys[j, vids][None, :]
+            Kj = K[_np.ix_(vids, vids)]
+            clean = ~xs_na[:, vids].any(axis=1)
+            if clean.any():
+                r = _reml_t_complete(yj, xs[_np.flatnonzero(clean)][:, vids],
+                                     Kj, llim, ulim, ngrids, n_bisect)
+                for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
+                    o[clean, j] = _np.asarray(v)[:, 0]
+                o_dfs[clean, j] = int(vids.sum()) - q1
+            for i in _np.flatnonzero(~clean):
+                vv = vids & ~xs_na[i]
+                r = _reml_t_complete(ys[j, vv][None, :], xs[i, vv][None, :],
+                                     K[_np.ix_(vv, vv)], llim, ulim,
+                                     ngrids, n_bisect)
+                o_stat[i, j], o_vg[i, j], o_ve[i, j], o_reml[i, j] = (
+                    float(_np.asarray(v)[0, 0]) for v in r)
+                o_dfs[i, j] = int(vv.sum()) - q1
+        stat, vg, ve, reml, dfs = (jnp.asarray(o, dt) for o in
+                                   (o_stat, o_vg, o_ve, o_reml, o_dfs))
+
+    x_mean = jnp.nanmean(xs, axis=1)
+    mono = ((x_mean <= 0) | (x_mean >= 1))[:, None]
+    ps = 2.0 * _t_sf(jnp.abs(stat), dfs)
+    return {"ps": jnp.where(mono, 1.0, ps),
+            "stats": jnp.where(mono, jnp.nan, stat),
+            "vgs": jnp.where(mono, jnp.nan, vg),
+            "ves": jnp.where(mono, jnp.nan, ve),
+            "REMLs": jnp.where(mono, jnp.nan, reml),
+            "dfs": dfs}
 
 
 def is_positive_semi_definite(K, tol: float = 1e-8) -> bool:

@@ -257,3 +257,80 @@ def test_mle_matches_reference_transcription():
     vg = np.sum(etasq / (wR + delta)) / n
     assert np.isclose(float(got.delta), delta, rtol=1e-3)
     assert np.isclose(float(got.vg), vg, rtol=1e-3)
+
+
+def test_emma_ml_lrt_rotated_equals_eigen_R_route():
+    """The rotated one-eigh formulation (y'Py + det identities) must equal
+    the per-variant eigen_R route (emma.R:574-580) it replaced."""
+    import jax.numpy as jnp
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(11)
+    n, m, g = 40, 5, 2
+    G0 = rng.normal(size=(n, 3 * n))
+    K = G0 @ G0.T / (3 * n)
+    K = K / np.diag(K).mean()
+    ys = rng.normal(size=(g, n))
+    xs = (rng.random((m, n)) < 0.4).astype(float)
+    out = emma.emma_ML_LRT(ys, xs, K)
+    X0 = jnp.ones((n, 1))
+    xi = jnp.linalg.eigvalsh(jnp.asarray(K))[::-1]
+    for i in range(m):
+        X = jnp.column_stack([X0, jnp.asarray(xs[i])])
+        lam1, vec1 = emma.eigen_R(jnp.asarray(K), X)
+        for j in range(g):
+            ref = emma.mle_from_eigen(vec1.T @ jnp.asarray(ys[j]), lam1, xi)
+            assert np.isclose(float(out["ML1s"][i, j]), float(ref.reml_ll),
+                              rtol=1e-8, atol=1e-8)
+            assert np.isclose(float(out["vgs"][i, j]), float(ref.vg),
+                              rtol=1e-6)
+
+
+def test_emma_missing_data_subset_semantics():
+    """NaNs in ys/xs reproduce R's subset-and-rerun semantics
+    (emma.R:611-614, 683-691): results equal running the complete-data
+    routine on the complete individuals."""
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(12)
+    n, m = 36, 4
+    G0 = rng.normal(size=(n, 3 * n))
+    K = G0 @ G0.T / (3 * n)
+    K = K / np.diag(K).mean()
+    y = rng.normal(size=n)
+    xs = (rng.random((m, n)) < 0.4).astype(float)
+    y_na = y.copy()
+    y_na[[3, 7]] = np.nan
+    xs_na = xs.copy()
+    xs_na[2, 10] = np.nan
+
+    for fn in (emma.emma_ML_LRT, emma.emma_REML_t):
+        out = fn(y_na, xs_na, K)
+        vids = ~np.isnan(y_na)
+        # clean variants == complete-data run on the y-subset
+        ref = fn(y[vids], xs[:, vids][[0, 1, 3]], K[np.ix_(vids, vids)])
+        np.testing.assert_allclose(np.asarray(out["ps"])[[0, 1, 3], 0],
+                                   np.asarray(ref["ps"])[:, 0], rtol=1e-6)
+        # NA variant: subset both
+        vv = vids & ~np.isnan(xs_na[2])
+        ref2 = fn(y[vv], xs[2:3, vv], K[np.ix_(vv, vv)])
+        assert np.isclose(float(out["ps"][2, 0]), float(ref2["ps"][0, 0]),
+                          rtol=1e-6)
+
+
+def test_emma_ml_lrt_scales_to_m1000_n500():
+    """m=1000 variants, n=500 individuals must run in seconds (the old
+    per-variant eigen_R loop was O(m n^3) and unusable at this scale)."""
+    import time
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(13)
+    n, m = 500, 1000
+    G0 = rng.normal(size=(n, 2 * n))
+    K = G0 @ G0.T / (2 * n)
+    K = K / np.diag(K).mean()
+    y = rng.normal(size=n)
+    xs = (rng.random((m, n)) < 0.3).astype(float)
+    t0 = time.perf_counter()
+    out = emma.emma_ML_LRT(y, xs, K, n_bisect=40)
+    ps = np.asarray(out["ps"])
+    dt = time.perf_counter() - t0
+    assert ps.shape == (m, 1) and np.all((ps >= 0) & (ps <= 1))
+    assert dt < 60, f"ML.LRT at m=1000,n=500 took {dt:.1f}s"
