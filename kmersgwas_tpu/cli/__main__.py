@@ -236,10 +236,18 @@ def _add_kinship(sub):
     p.add_argument("-k", "--kmer_len", type=int, required=False)
     p.add_argument("--maf", type=float, required=True)
     p.add_argument("--batch_size", type=int, default=1 << 20)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the accumulation over this many devices")
 
     def run(a):
         from ..pipeline import kinship as km
-        K = km.kinship_from_table(a.kmers_table, maf=a.maf, batch_size=a.batch_size)
+        mesh = None
+        if a.devices and a.devices > 1:
+            import jax
+            from ..parallel import sharding as shard_mod
+            mesh = shard_mod.make_mesh(jax.devices()[:a.devices])
+        K = km.kinship_from_table(a.kmers_table, maf=a.maf,
+                                  batch_size=a.batch_size, mesh=mesh)
         import sys as _sys
         for row in K:
             _sys.stdout.write("\t".join(f"{v:g}" for v in row) + "\n")

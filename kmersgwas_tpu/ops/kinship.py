@@ -31,6 +31,21 @@ def kinship_accumulate(acc: jax.Array, packed: jax.Array) -> jax.Array:
         preferred_element_type=jnp.int32)
 
 
+@jax.jit
+def kinship_accumulate_masked(acc: jax.Array, packed: jax.Array,
+                              valid: jax.Array) -> jax.Array:
+    """Like kinship_accumulate, but rows with valid == 0 contribute nothing.
+
+    The plain ±1 encoding makes an all-zero padding row NON-neutral (it adds
+    +1 to every pair); zeroing invalid rows (0 * anything = 0 in the GEMM)
+    restores exactness, so batches may be padded to any fixed shape —
+    required for equal-size device shards."""
+    a = unpack_bits_pm1(packed) * valid[:, None].astype(jnp.int8)
+    return acc + jax.lax.dot_general(
+        a, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
 def kinship_init(n_pad: int) -> jax.Array:
     return jnp.zeros((n_pad, n_pad), jnp.int32)
 

@@ -269,6 +269,28 @@ def finalize_sharded_buffered(state, mesh: Mesh | None = None) -> list:
         np.concatenate([hi, bhi], axis=2).transpose(1, 0, 2), k)
 
 
+def build_sharded_kinship_accumulate(mesh: Mesh):
+    """PRODUCTION sharded kinship accumulate: -> jitted
+    (accs (D, Npad, Npad) int32 sharded, packed (R, W32) sharded,
+    valid (R,) int8 sharded) -> accs.
+
+    No per-step collectives: each device owns a partial A^T A over its row
+    shard (invalid/padding rows zeroed — exact, see
+    ops.kinship.kinship_accumulate_masked); the partials are summed on the
+    host at flush time (pipeline/kinship.ShardedKinshipAccumulator), where
+    the int64 spill lives anyway. Reference semantics:
+    src/kmers_multiple_databases.cpp:418-438."""
+    from ..ops.kinship import kinship_accumulate_masked
+
+    def local(acc, packed, valid):
+        return kinship_accumulate_masked.__wrapped__(acc[0], packed,
+                                                     valid)[None]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS), check_vma=False))
+
+
 def build_sharded_kinship_step(mesh: Mesh):
     """-> jitted (acc (Npad,Npad) int32 replicated, packed sharded) -> acc.
 

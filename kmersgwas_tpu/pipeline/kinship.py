@@ -3,6 +3,13 @@
 Streams MAC-filtered table batches into the exact int8-MXU XNOR accumulator
 (ops/kinship.py). Reference: src/emma_kinship_kmers.cpp:77-111 — batches of
 2^20 rows, min_count = ceil(n * maf), normalize by #used k-mers, diagonal 1.
+
+With `mesh=`, the reference's worst wall-clock stage (~5 days for ~1000
+accessions on its cluster, manual.pdf) scales over devices: each device
+accumulates its k-mer row shard's partial A^T A with NO per-step
+collectives (padding rows zeroed exactly); partials meet on the host at
+flush, where the int64 overflow spill lives anyway. The result is
+bit-identical to the single-device accumulator for any device count.
 """
 from __future__ import annotations
 
@@ -15,14 +22,74 @@ from ..core.table import KmersTableReader
 from ..ops.kinship import KinshipAccumulator
 
 
+class ShardedKinshipAccumulator:
+    """KinshipAccumulator over a device mesh: per-device int32 partials
+    sharded on the k-mer axis, summed into the host int64 total at flush."""
+
+    def __init__(self, n_used: int, n_pad: int, mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import sharding as shard_mod
+        self.n_used = n_used
+        self.n_pad = n_pad
+        self.mesh = mesh
+        self._shard = shard_mod
+        self._d = mesh.devices.size
+        self._step = shard_mod.build_sharded_kinship_accumulate(mesh)
+        self._sharding = NamedSharding(mesh, P(shard_mod.AXIS))
+        self._put = lambda a: jax.device_put(a, self._sharding)
+        self.total = np.zeros((n_used, n_used), dtype=np.int64)
+        self.device_acc = self._zero()
+        self.rows_in_acc = 0
+        self.n_rows = 0
+
+    def _zero(self):
+        return self._put(np.zeros((self._d, self.n_pad, self.n_pad),
+                                  np.int32))
+
+    def add(self, packed_host: np.ndarray) -> None:
+        rows = int(packed_host.shape[0])
+        if self.rows_in_acc + rows > (1 << 30):
+            self.flush()
+        valid = np.ones(rows, np.int8)
+        packed, valid = self._shard.shard_batch(
+            self.mesh, [np.asarray(packed_host), valid])
+        self.device_acc = self._step(self.device_acc, packed, valid)
+        self.rows_in_acc += rows
+        self.n_rows += rows
+
+    def flush(self) -> None:
+        if self.rows_in_acc:
+            part = np.asarray(self.device_acc, dtype=np.int64).sum(axis=0)
+            self.total += part[: self.n_used, : self.n_used]
+            self.device_acc = self._zero()
+            self.rows_in_acc = 0
+
+    def finalize(self) -> np.ndarray:
+        self.flush()
+        if self.n_rows == 0:
+            raise ValueError("no k-mers accumulated into kinship")
+        xnor = (self.n_rows + self.total) / 2.0
+        k = xnor / float(self.n_rows)
+        np.fill_diagonal(k, 1.0)
+        return k
+
+
 def kinship_from_table(table_base: str, *, maf: float = 0.05,
                        batch_size: int = 1 << 20, names_to_use=None,
                        checkpoint_path: str | None = None,
-                       checkpoint_every: int = 50, progress=None) -> np.ndarray:
+                       checkpoint_every: int = 50, mesh=None,
+                       progress=None) -> np.ndarray:
     from . import checkpoint as ckpt
     reader = KmersTableReader(table_base, names_to_use=names_to_use)
     min_count = math.ceil(reader.n_used * maf)
-    acc = KinshipAccumulator(n_used=reader.n_used, n_pad=reader.w32 * 32)
+    if mesh is not None and mesh.devices.size > 1:
+        acc = ShardedKinshipAccumulator(n_used=reader.n_used,
+                                        n_pad=reader.w32 * 32, mesh=mesh)
+        to_dev = lambda packed: np.asarray(packed)
+    else:
+        acc = KinshipAccumulator(n_used=reader.n_used, n_pad=reader.w32 * 32)
+        to_dev = jnp.asarray
     start_row = 0
     if checkpoint_path:
         resumed = ckpt.load_kinship_state(checkpoint_path)
@@ -32,11 +99,10 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
     for batch in reader.iter_batches(batch_size, min_count, start_row=start_row):
         if batch.n_rows == 0:
             continue
-        # no zero-padding here: an all-zero padded row would still shift
-        # every pairwise XNOR count (+1), so batches run at their true size
-        # (full-size batches share one compiled program; the final partial
-        # batch costs one extra compile)
-        acc.add(jnp.asarray(batch.packed))
+        # single-device path runs batches at their true size (an all-zero
+        # padded row is not neutral under the ±1 encoding); the sharded path
+        # pads to the device count but zeroes padding rows in the GEMM
+        acc.add(to_dev(batch.packed))
         batch_i += 1
         if checkpoint_path and batch_i % checkpoint_every == 0:
             acc.flush()

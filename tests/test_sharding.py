@@ -188,3 +188,22 @@ def test_production_sharded_associate_resume(mesh, tmp_path):
     for j in range(2):
         assert set(r1.kmers[j].tolist()) == set(full.kmers[j].tolist())
         assert set(r2.kmers[j].tolist()) == set(full.kmers[j].tolist())
+
+
+def test_production_sharded_kinship_bit_exact(mesh, tmp_path):
+    """kinship_from_table(mesh=...) — the PRODUCT path with per-device
+    partial accumulators, padded shards (masked rows), and int64 flush —
+    reproduces the single-device kinship bit-exactly, including through a
+    checkpoint/resume cycle."""
+    from test_pipeline import build_population
+    from kmersgwas_tpu.pipeline import kinship as km
+    pop = build_population(tmp_path, n_samples=24, n_kmers=500)
+    kw = dict(maf=0.05, batch_size=37)        # odd size: forces shard padding
+    K_ref = km.kinship_from_table(pop["base"], **kw)
+    K_got = km.kinship_from_table(pop["base"], mesh=mesh, **kw)
+    np.testing.assert_array_equal(K_got, K_ref)
+
+    ck = str(tmp_path / "kck")
+    K_c1 = km.kinship_from_table(pop["base"], mesh=mesh, checkpoint_path=ck,
+                                 checkpoint_every=2, **kw)
+    np.testing.assert_array_equal(K_c1, K_ref)
