@@ -105,7 +105,10 @@ def _stats_device():
         from jax._src.config import enable_x64
         stack.enter_context(enable_x64(True))
     except ImportError:
-        pass
+        import warnings
+        warnings.warn("scoped x64 unavailable in this jax version; "
+                      "REML/LMM statistics will run in float32",
+                      RuntimeWarning)
     stack.enter_context(jax.default_device(cpu))
     return stack
 
@@ -335,7 +338,7 @@ def _write_assoc_txt(path, result, j, kmer_len, n, pvals, lam, beta):
     with open(path, "w") as f:
         f.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\tl_mle\tp_lrt\n")
         for i, s in enumerate(strs):
-            af = float(result.pa_rows[int(result.rows[j][i])].size and
-                       _pa_bits(result.pa_rows[int(result.rows[j][i])], n).mean())
+            pa = result.pa_rows[int(result.rows[j][i])]
+            af = float(_pa_bits(pa, n).mean()) if pa.size else 0.0
             f.write(f"0\t{s}_{i+1}\t0\t0\t1\t0\t{af:.6f}\t"
                     f"{10**lam[i]:.6e}\t{pvals[i]:.6e}\n")

@@ -96,19 +96,39 @@ def _prefetch(iterator, depth: int = 2):
 class _PatternCounter:
     """Streaming distinct-pattern counter (pattern hash per row, merged sets),
     equivalent of update_presence_absence_pattern_counter
-    (kmers_multiple_databases.cpp:377-380)."""
+    (kmers_multiple_databases.cpp:377-380).
+
+    Per-batch cost is one hash + sort of the batch (the reference's hash-set
+    insert is O(rows) amortized); merging into the global set is DEFERRED:
+    batch uniques collect in a pending list that is compacted into the
+    sorted master only when it reaches a fraction of the master's size, so
+    the total merge work over a stream with U uniques is O(U log U), not
+    O(batches * U) as a per-batch union1d would be."""
 
     def __init__(self):
-        self._seen = np.empty(0, dtype=np.uint64)
+        self._sorted = np.empty(0, dtype=np.uint64)
+        self._pending: list = []
+        self._pending_n = 0
 
     def add(self, packed_u32: np.ndarray) -> None:
         w64 = np.ascontiguousarray(packed_u32).view("<u8")
         h = np.unique(codec.pattern_hash(w64))
-        self._seen = np.union1d(self._seen, h)
+        self._pending.append(h)
+        self._pending_n += len(h)
+        if self._pending_n >= max(1 << 20, len(self._sorted) >> 2):
+            self._compact()
+
+    def _compact(self) -> None:
+        if self._pending:
+            self._sorted = np.unique(
+                np.concatenate([self._sorted, *self._pending]))
+            self._pending = []
+            self._pending_n = 0
 
     @property
     def count(self) -> int:
-        return len(self._seen)
+        self._compact()
+        return len(self._sorted)
 
 
 def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,

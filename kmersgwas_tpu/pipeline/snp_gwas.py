@@ -59,9 +59,9 @@ def run_snp_arm(snps_matrix: str, outdir: str, used_accessions,
 
     planes = load_bed_planes(snps_matrix, used_accessions)
     n = planes.n_samples
-    affective_maf = max(maf, float(mac) / n)
+    effective_maf = max(maf, float(mac) / n)
     dose, af, miss_frac = _dose_matrix(planes, n)
-    usable = ((af >= affective_maf) & (af <= 1 - affective_maf)
+    usable = ((af >= effective_maf) & (af <= 1 - effective_maf)
               & (miss_frac <= 0.5))
     bim_lines = open(snps_matrix + ".bim").read().splitlines()
 

@@ -336,3 +336,22 @@ def test_scan_checkpoint_resume_dtable(tmp_path):
                             checkpoint_path=ck2, checkpoint_every=10**6, **kw)
     for j in range(2):
         assert set(r3.kmers[j].tolist()) == set(full.kmers[j].tolist())
+
+
+def test_pattern_counter_amortized_equals_union():
+    """_PatternCounter's deferred compaction gives identical counts to a
+    naive per-batch set-union across many small batches (property test for
+    the union1d replacement)."""
+    from kmersgwas_tpu.pipeline.scan import _PatternCounter
+    rng = np.random.default_rng(5)
+    pc = _PatternCounter()
+    naive = set()
+    for _ in range(30):
+        r = int(rng.integers(1, 60))
+        packed = rng.integers(0, 1 << 8, size=(r, 2), dtype=np.uint64
+                              ).astype(np.uint32)   # few distinct patterns
+        w64 = np.ascontiguousarray(packed).view("<u8")
+        from kmersgwas_tpu.core import codec
+        naive.update(codec.pattern_hash(w64).tolist())
+        pc.add(packed)
+        assert pc.count == len(naive)
