@@ -392,3 +392,66 @@ def test_kmc2_feeds_strand_merge(tmp_path):
     kk, ff = strand.strand_flags_from_counts(ck, nk, k)
     assert np.array_equal(kk, canon)
     assert set(ff.tolist()) <= {1, 2, 3}
+
+
+def test_kmc_roundtrip_fuzz_grid(tmp_path):
+    """Round-trip fuzz across the KMC parameter grid: counter_size 1-4 x
+    lut_prefix_len extremes x k in {15,21,25,31} x both_strands x both
+    on-disk versions (reference consumer: kmers_add_strand_information.cpp:
+    72-85 via the KMC API)."""
+    from kmersgwas_tpu.ingest import kmc
+    rng = np.random.default_rng(99)
+    for k in (15, 21, 25, 31):
+        space = 1 << min(2 * k, 40)
+        kmers = np.sort(rng.choice(space, size=200, replace=False)
+                        ).astype(np.uint64)
+        for counter_size in (1, 2, 3, 4):
+            cmax = (1 << (8 * counter_size)) - 1
+            counts = rng.integers(1, min(cmax, 10**6) + 1, size=200
+                                  ).astype(np.uint64)
+            for lut in (1, 8):
+                for strands in (True, False):
+                    base = str(tmp_path / f"db_{k}_{counter_size}_{lut}")
+                    kmc.write_kmc1(base, kmers, counts, k,
+                                   lut_prefix_len=min(lut + 4, 12, k - 1),
+                                   counter_size=counter_size,
+                                   both_strands=strands)
+                    k2, c2, klen = kmc.read_kmc(base)
+                    assert klen == k
+                    np.testing.assert_array_equal(k2, kmers)
+                    np.testing.assert_array_equal(c2, counts)
+                    # KMC2 LUT is n_bins * 4^lut entries: keep lut modest
+                    sig = min(5, k - 1)
+                    kmc.write_kmc2(base, kmers, counts, k,
+                                   lut_prefix_len=min(lut, k - 1),
+                                   signature_len=sig, n_bins=16,
+                                   counter_size=counter_size,
+                                   both_strands=strands)
+                    k3, c3, klen3 = kmc.read_kmc(base)
+                    assert klen3 == k
+                    np.testing.assert_array_equal(k3, kmers)
+                    np.testing.assert_array_equal(c3, counts)
+
+
+def test_kmc_forward_compat_larger_header(tmp_path):
+    """A future-KMC header extended by trailing fields (header_size larger
+    than the known struct) must still read: known fields sit at the START
+    of the header block, which is addressed backwards from the trailer."""
+    import struct
+    from kmersgwas_tpu.ingest import kmc
+    rng = np.random.default_rng(7)
+    kmers = np.sort(rng.choice(1 << 30, size=64, replace=False)).astype(np.uint64)
+    counts = rng.integers(1, 100, size=64).astype(np.uint64)
+    base = str(tmp_path / "fwd")
+    kmc.write_kmc1(base, kmers, counts, 21, lut_prefix_len=3)
+    raw = open(base + ".kmc_pre", "rb").read()
+    version, hdr_size = struct.unpack("<II", raw[-12:-4])
+    # splice 8 extra bytes at the END of the header struct
+    body_end = len(raw) - 12 - hdr_size
+    patched = (raw[:body_end + hdr_size] + b"\xEE" * 8
+               + struct.pack("<II", version, hdr_size + 8) + raw[-4:])
+    open(base + ".kmc_pre", "wb").write(patched)
+    k2, c2, klen = kmc.read_kmc(base)
+    assert klen == 21
+    np.testing.assert_array_equal(k2, kmers)
+    np.testing.assert_array_equal(c2, counts)
