@@ -36,6 +36,10 @@ def _add_gwas(sub):
                    dest="n_extra_phenotype_kmers",
                    help="heap size override for the real (non-permuted) phenotype")
     p.add_argument("--dont_remove_intermediates", action="store_true")
+    p.add_argument("--lmm_backend", default="auto",
+                   choices=["auto", "host64", "device32"],
+                   help="exact-LMM stage backend (device32 = packed bits + "
+                        "f32 profile-LL on the accelerator)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the scan over this many devices")
 
@@ -55,6 +59,7 @@ def _add_gwas(sub):
             kinship_snps=a.kinship_snps,
             n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
             remove_intermediates=not a.dont_remove_intermediates,
+            lmm_backend=a.lmm_backend,
             n_devices=a.devices))
         th5 = res.thresholds.get("5per")
         print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "

@@ -338,17 +338,29 @@ def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_used", "min_count", "kernel", "block",
-                                    "cand_c", "cand_k", "tile_rows"))
+                                    "cand_c", "cand_k", "tile_rows",
+                                    "cand_q"))
 def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       row_lo, row_hi, y_padded, y_sum, *, n_used: int,
                       min_count: int, kernel: str = "xla", block: int = 16,
                       cand_c: int = 128, cand_k: int = 2048,
-                      tile_rows: int = 2048) -> BufferedTopKState:
+                      tile_rows: int = 2048,
+                      cand_q: int | None = None) -> BufferedTopKState:
     """One streamed batch -> buffered top-k state via the compact tile-max
     path (see block comment above). Args as scan_step_buffered, plus
     tile_rows (must divide the padded batch rows). The buffer capacity must
     be a multiple of 3 * min(cand_c, n_tiles). Semantically identical to
-    scan_step_buffered: same final top-k, same tie handling."""
+    scan_step_buffered: same final top-k, same tie handling.
+
+    cand_q: optional NARROW append width. The 3c per-batch candidates come
+    out sorted descending; whenever the (q+1)-th is already <= thresh, only
+    the top q are appended — the dropped tail is <= thresh, so (strict
+    displacement rule) it can never enter the final top-k: exact. At steady
+    state nearly every batch qualifies, so the buffer fills ~3c/q times
+    slower and the expensive flush merge (a (P, K + cap) top_k — ~170 ms at
+    production shape on TPU, the dominant steady-state cost without this)
+    amortizes over that many more batches. Ignored unless cand_q < 3c and
+    cand_q divides the buffer capacity."""
     k = state.scores.shape[1]
     cap = state.buf_v.shape[1]
     rows = packed.shape[0]
@@ -356,6 +368,8 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     n_tiles = rows // tile_rows
     c = min(cand_c, n_tiles)
     assert cap % (3 * c) == 0
+    q = (cand_q if cand_q and cand_q < 3 * c and cap % cand_q == 0
+         else None)
     tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
         packed, popcnt, y_padded, y_sum, state.thresh,
         n_used, min_count, kernel, tile_rows)
@@ -386,9 +400,16 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
           & jnp.all((tmax2 <= th2) | (n2 == 1))
           & jnp.all((tmax3 <= th2) | (n3 == 1)))
 
-    # flush BEFORE appending if the buffer is full; thresh only rises, so the
-    # `ok` decision made against the older (lower) thresh stays conservative
-    state = jax.lax.cond(state.buf_n + 3 * c > cap, _flush_state_only,
+    # narrow qualification: everything past the q-th sorted candidate is
+    # <= thresh in every column, so the tail is dead weight (strict
+    # displacement rule) and may be dropped exactly
+    narrow = (ok & jnp.all(v[:, q] <= state.thresh)) if q else jnp.bool_(False)
+
+    # flush BEFORE appending if the incoming width won't fit; thresh only
+    # rises, so the `ok` decision made against the older (lower) thresh
+    # stays conservative
+    width = jnp.where(narrow, q, 3 * c) if q else 3 * c
+    state = jax.lax.cond(state.buf_n + width > cap, _flush_state_only,
                          lambda s: s, state)
 
     def do_append(st: BufferedTopKState) -> BufferedTopKState:
@@ -399,6 +420,14 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
             buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, bhi, at),
             buf_n=st.buf_n + 3 * c)
 
+    def do_append_narrow(st: BufferedTopKState) -> BufferedTopKState:
+        at = (jnp.int32(0), st.buf_n)
+        return st._replace(
+            buf_v=jax.lax.dynamic_update_slice(st.buf_v, v[:, :q], at),
+            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, blo[:, :q], at),
+            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, bhi[:, :q], at),
+            buf_n=st.buf_n + q)
+
     def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
         # hot batch: recompute full scores and run the exact wide merge
         sc, bmax, tr = _scores_and_bmax(packed, popcnt, y_padded, y_sum,
@@ -406,6 +435,11 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
         return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
                             min(cand_k, sc.shape[1]), block)
 
+    if q:
+        return jax.lax.cond(
+            ok,
+            lambda s: jax.lax.cond(narrow, do_append_narrow, do_append, s),
+            do_fallback, state)
     return jax.lax.cond(ok, do_append, do_fallback, state)
 
 

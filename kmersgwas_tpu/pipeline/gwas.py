@@ -51,6 +51,14 @@ class GWASConfig:
     use_pallas: str | bool = "auto"
     lmm_grid: int = 64
     lmm_refine: int = 40
+    lmm_backend: str = "auto"           # "auto" | "host64" | "device32":
+                                        # host64 = CPU float64 (R/GEMMA
+                                        # precision); device32 = packed bits
+                                        # + f32 profile-LL on the accelerator
+                                        # (the GEMMA farm as one TPU kernel);
+                                        # auto picks device32 for large
+                                        # candidate sets when an accelerator
+                                        # is present
     run_kmers: bool = True
     snps_matrix: str | None = None      # PLINK base for the SNP arm
     run_snps: str | None = None         # None | "one_step" | "two_steps"
@@ -79,6 +87,7 @@ class GWASResult:
     pass_10per: list = field(default_factory=list)
     heritability: float = 0.0
     n_tested: int = 0
+    stage_seconds: dict = field(default_factory=dict)  # per-stage wall-clock
 
 
 def _stats_device():
@@ -114,12 +123,24 @@ def _stats_device():
 
 
 def run_gwas(cfg: GWASConfig) -> GWASResult:
+    import time as _time
     out = Path(cfg.outdir)
     out.mkdir(parents=True, exist_ok=True)
     log_lines = []
+    stage_seconds = {}
 
     def log(msg):
         log_lines.append(str(msg))
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def stage(name):
+        t0 = _time.perf_counter()
+        yield
+        dt = _time.perf_counter() - t0
+        stage_seconds[name] = stage_seconds.get(name, 0.0) + dt
+        log(f"[stage] {name}: {dt:.2f}s")
 
     # 1. phenotype: load + average duplicate accessions
     pheno = formats.read_phenotypes(cfg.pheno_path)
@@ -147,7 +168,9 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         kin_names = table_names
     else:
         log("computing kinship from k-mers table")
-        K_full = kinship_mod.kinship_from_table(cfg.kmers_table, maf=cfg.kinship_maf)
+        with stage("kinship"):
+            K_full = kinship_mod.kinship_from_table(cfg.kmers_table,
+                                                    maf=cfg.kinship_maf)
         kin_names = table_names
         kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
 
@@ -161,7 +184,7 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         names=["phenotype_value"], accessions=used, values=y[:, None]))
 
     # 3. transform + permutations
-    with _stats_device():
+    with stage("transform"), _stats_device():
         tr = transform_mod.transform_and_permute(y, K, cfg.n_permutations, seed=cfg.seed)
     log(f"EMMA vg={tr.vg} ve={tr.ve} herit={tr.heritability}")
     formats.write_phenotypes(out / "pheno.phenotypes_and_permutations",
@@ -198,12 +221,13 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         import jax
         from ..parallel import sharding as shard_mod
         mesh = shard_mod.make_mesh(jax.devices()[:cfg.n_devices])
-    result = scan_mod.associate(
-        cfg.kmers_table, used, tr.transformed, tr.names,
-        kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
-        batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
-        use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
-        first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh)
+    with stage("scan"):
+        result = scan_mod.associate(
+            cfg.kmers_table, used, tr.transformed, tr.names,
+            kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
+            batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
+            use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
+            first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh)
     (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
     if result.n_patterns is not None:
         (kmers_dir / "pheno.pattern_counter").write_text(f"{result.n_patterns}\n")
@@ -228,15 +252,29 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     best_pvals = {}
     first_assoc = None
     lmm_timer = StageTimer("lmm", "variants")
+    lmm_t0 = __import__("time").perf_counter()
     results_by_col = {}
     # group columns by candidate count so stacks are rectangular (column 0
     # may use a different heap size via n_extra_phenotype_kmers)
     by_m = {}
     for j in range(len(tr.names)):
         by_m.setdefault(len(result.rows[j]), []).append(j)
-    # ~800 MB of f64 genotype stack per dispatch
     max_m = max(by_m) if by_m else 1
-    chunk_cols = max(1, int(8e8 // max(1, 8 * n * max_m)))
+    m_total = sum(m * len(cs) for m, cs in by_m.items())
+    backend = cfg.lmm_backend
+    if backend == "auto":
+        import jax as _jax
+        backend = ("device32" if m_total * n > 2e8
+                   and _jax.default_backend() != "cpu" else "host64")
+    log(f"lmm backend: {backend} ({m_total} variant-tests, n={n})")
+    if backend == "device32":
+        # packed bits + f32 on the accelerator: ~n/8 bytes per genotype
+        # shipped instead of 8, and the profile-LL grid runs as one kernel
+        chunk_cols = max(1, int(1e9 // max(1, 4 * n * max_m)))
+    else:
+        # ~800 MB of f64 genotype stack per dispatch
+        chunk_cols = max(1, int(8e8 // max(1, 8 * n * max_m)))
+    n64 = (n + 63) // 64
     for m, cols in sorted(by_m.items()):
         if m == 0:
             for j in cols:
@@ -244,15 +282,24 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             continue
         for s in range(0, len(cols), chunk_cols):
             grp = cols[s:s + chunk_cols]
-            genos = np.stack([
-                np.stack([_pa_bits(result.pa_rows[int(r)], n)
-                          for r in result.rows[j]]) for j in grp])
             ys = np.stack([tr.phenotypes[:, j] - tr.phenotypes[:, j].mean()
                            for j in grp])   # UNtransformed (kmers_gwas.py:152-160)
-            with _stats_device():
-                res = lmm_mod.lmm_scan_columns(genos, ys, w_eig, U_eig,
-                                               n_grid=cfg.lmm_grid,
-                                               n_refine=cfg.lmm_refine)
+            if backend == "device32":
+                gp = np.stack([
+                    np.stack([result.pa_rows[int(r)]
+                              for r in result.rows[j]]) for j in grp]
+                ).reshape(len(grp), m, n64).view("<u4")
+                res = lmm_mod.lmm_scan_columns_packed(
+                    gp, ys, w_eig, U_eig, n=n,
+                    n_grid=cfg.lmm_grid, n_refine=cfg.lmm_refine)
+            else:
+                genos = np.stack([
+                    np.stack([_pa_bits(result.pa_rows[int(r)], n)
+                              for r in result.rows[j]]) for j in grp])
+                with _stats_device():
+                    res = lmm_mod.lmm_scan_columns(genos, ys, w_eig, U_eig,
+                                                   n_grid=cfg.lmm_grid,
+                                                   n_refine=cfg.lmm_refine)
             for gi, j in enumerate(grp):
                 results_by_col[j] = (
                     np.asarray(res.p_lrt[gi], dtype=np.float64),
@@ -260,6 +307,8 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
                     np.asarray(res.beta[gi], dtype=np.float64))
             lmm_timer.add(m * len(grp))
     lmm_timer.done()
+    stage_seconds["lmm"] = __import__("time").perf_counter() - lmm_t0
+    log(f"[stage] lmm: {stage_seconds['lmm']:.2f}s")
 
     for j, cname in enumerate(tr.names):
         pvals, lam, beta = results_by_col[j]
@@ -319,10 +368,13 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         "n_accessions": n, "heritability": tr.heritability,
         "threshold_5per": th5, "threshold_10per": th10,
         "n_tested": result.n_tested,
-        "n_pass_5per": len(pass5), "n_pass_10per": len(pass10)}, indent=2))
+        "n_pass_5per": len(pass5), "n_pass_10per": len(pass10),
+        "stage_seconds": {k: round(v, 3) for k, v in stage_seconds.items()},
+    }, indent=2))
     return GWASResult(thresholds={"5per": th5, "10per": th10},
                       best_pvals=best_pvals, pass_5per=pass5, pass_10per=pass10,
-                      heritability=tr.heritability, n_tested=result.n_tested)
+                      heritability=tr.heritability, n_tested=result.n_tested,
+                      stage_seconds=stage_seconds)
 
 
 def _pa_bits(pa_words: np.ndarray, n: int) -> np.ndarray:

@@ -191,6 +191,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     shard_rows = pad_to // n_devices
     cand_c = min(256, k_eff, shard_rows // tile)
     cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
+    cand_q = 64      # narrow-append width (scan_step_compact ignores it
+                     # unless it divides the buffer cap and is < 3*cand_c)
     if use_sharded:
         from ..parallel import sharding as shard_mod
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -198,7 +200,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
             mesh, p, k_eff, buf_cap=cand_c * 24, seed_state=resumed_plain)
         step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k, tile_rows=tile)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
         batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
         rep = NamedSharding(mesh, _P())
         yp = jax.device_put(np.asarray(yp), rep)
@@ -260,7 +262,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         return ss.scan_step_compact(
             st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
             n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k, tile_rows=tile)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
 
     def plain_state(st):
         if use_sharded:

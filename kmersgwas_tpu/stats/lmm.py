@@ -55,9 +55,51 @@ def _profile_ll(log10_lam, d, Xt, yt):
     return ll, beta
 
 
-def _optimize_lambda(d, Xt, yt, n_grid: int, n_refine: int):
+def _profile_ll2(log10_lam, d, w1t, xt, yt):
+    """Closed-form c==2 specialization (intercept w1t + variant xt, both
+    rotated): identical math to _profile_ll with Xt = [w1t, xt], but every
+    intermediate is a scalar per lambda — no (c, c) matrices. Under a huge
+    vmap over (columns, variants, grid) on TPU the tiny Gram matrices pad to
+    (8, 128) vregs (a measured 13x HLO-temp blowup -> OOM at production
+    candidate counts); this form keeps temps at (batch, grid) width.
+    Returns (ll, beta_variant)."""
+    n = yt.shape[0]
+    lam = jnp.power(10.0, log10_lam)
+    v = lam * d + 1.0
+    w = 1.0 / v
+    a = jnp.sum(w * w1t * w1t)
+    b = jnp.sum(w * w1t * xt)
+    dd = jnp.sum(w * xt * xt)
+    r1 = jnp.sum(w * w1t * yt)
+    r2 = jnp.sum(w * xt * yt)
+    yy = jnp.sum(w * yt * yt)
+    det = a * dd - b * b
+    beta1 = (dd * r1 - b * r2) / det
+    beta2 = (a * r2 - b * r1) / det
+    rss = jnp.maximum(yy - (r1 * beta1 + r2 * beta2), 1e-300)
+    ll = 0.5 * (n * (jnp.log(n / (2 * jnp.pi)) - 1.0 - jnp.log(rss))
+                - jnp.sum(jnp.log(v)))
+    return ll, beta2
+
+
+def _profile_ll1(log10_lam, d, w1t, yt):
+    """Closed-form c==1 (intercept-only null model)."""
+    n = yt.shape[0]
+    lam = jnp.power(10.0, log10_lam)
+    v = lam * d + 1.0
+    w = 1.0 / v
+    a = jnp.sum(w * w1t * w1t)
+    r1 = jnp.sum(w * w1t * yt)
+    yy = jnp.sum(w * yt * yt)
+    rss = jnp.maximum(yy - r1 * r1 / a, 1e-300)
+    return 0.5 * (n * (jnp.log(n / (2 * jnp.pi)) - 1.0 - jnp.log(rss))
+                  - jnp.sum(jnp.log(v)))
+
+
+def _optimize(ll_fn, n_grid: int, n_refine: int):
+    """Grid + golden-section maximizer of ll_fn(log10_lam) -> (ll, beta)."""
     grid = jnp.linspace(LOG_LMIN, LOG_LMAX, n_grid)
-    lls = jax.vmap(lambda g: _profile_ll(g, d, Xt, yt)[0])(grid)
+    lls = jax.vmap(lambda g: ll_fn(g)[0])(grid)
     i = jnp.argmax(lls)
     lo = grid[jnp.maximum(i - 1, 0)]
     hi = grid[jnp.minimum(i + 1, n_grid - 1)]
@@ -66,14 +108,18 @@ def _optimize_lambda(d, Xt, yt, n_grid: int, n_refine: int):
         lo, hi = carry
         m1 = lo + _GOLD * (hi - lo)
         m2 = hi - _GOLD * (hi - lo)
-        f1 = _profile_ll(m1, d, Xt, yt)[0]
-        f2 = _profile_ll(m2, d, Xt, yt)[0]
+        f1 = ll_fn(m1)[0]
+        f2 = ll_fn(m2)[0]
         return (jnp.where(f1 < f2, m1, lo), jnp.where(f1 < f2, hi, m2))
 
     lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
     best = 0.5 * (lo + hi)
-    ll, beta = _profile_ll(best, d, Xt, yt)
+    ll, beta = ll_fn(best)
     return best, ll, beta
+
+
+def _optimize_lambda(d, Xt, yt, n_grid: int, n_refine: int):
+    return _optimize(lambda g: _profile_ll(g, d, Xt, yt), n_grid, n_refine)
 
 
 def chi2_sf_df1(x):
@@ -92,10 +138,31 @@ def lmm_scan(genotypes, y, K_eigvals, K_eigvecs, covariates=None,
     """
     y = jnp.asarray(y)
     n = y.shape[0]
-    W = jnp.ones((n, 1), y.dtype) if covariates is None else jnp.asarray(covariates, y.dtype)
     U = K_eigvecs
     d = K_eigvals
     yt = U.T @ y
+
+    if covariates is None:
+        # intercept-only: closed-form c==1/c==2 scalar path (no (c, c)
+        # Gram matrices — see _profile_ll2 for why this matters on TPU)
+        w1t = jnp.sum(U, axis=0)                          # U' 1
+        _, ll_null, _ = _optimize(
+            lambda g: (_profile_ll1(g, d, w1t, yt), jnp.float32(0)),
+            n_grid, n_refine)
+
+        def per_variant(x):
+            xt = U.T @ x
+            log10_lam, ll, beta = _optimize(
+                lambda g: _profile_ll2(g, d, w1t, xt, yt), n_grid, n_refine)
+            lrt = 2.0 * (ll - ll_null)
+            return log10_lam, ll, beta, chi2_sf_df1(lrt)
+
+        log10_lam, ll_alt, beta, p = jax.vmap(per_variant)(
+            jnp.asarray(genotypes, y.dtype))
+        return LMMResult(log10_lambda=log10_lam, logl_alt=ll_alt, beta=beta,
+                         p_lrt=p)
+
+    W = jnp.asarray(covariates, y.dtype)
     Wt = U.T @ W
 
     # Null model, once
@@ -126,6 +193,33 @@ def lmm_scan_columns(genotypes, ys, K_eigvals, K_eigvecs,
         lambda g, y: lmm_scan.__wrapped__(g, y, K_eigvals, K_eigvecs, None,
                                           n_grid, n_refine)
     )(jnp.asarray(genotypes), jnp.asarray(ys))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_grid", "n_refine"))
+def lmm_scan_columns_packed(packed_genos, ys, K_eigvals, K_eigvecs, *,
+                            n: int, n_grid: int = 64,
+                            n_refine: int = 40) -> LMMResult:
+    """lmm_scan_columns fed PACKED presence bits, unpacked on-device.
+
+    packed_genos (P, M, W32) uint32 bit-planes (LSB-first lanes, >= n bits),
+    ys (P, n). This is the TPU fast path of the GEMMA-farm replacement: the
+    host ships ~n/8 bytes per genotype instead of 8-byte floats (the f64
+    stack for 101 x 10001 x 1008 is ~800 MB/dispatch; the packed planes are
+    ~13 MB), and the ~10^12 flops of profile-likelihood optimization run on
+    the accelerator instead of the host. Accumulation is f32 on device —
+    validated against the f64 host route in tests (p-value agreement to
+    ~1e-3, comfortably inside the permutation-threshold resolution).
+    """
+    from ..ops.bitplanes import unpack_bits
+    w = jnp.asarray(K_eigvals, jnp.float32)
+    U = jnp.asarray(K_eigvecs, jnp.float32)
+
+    def per_col(pg, y):
+        g = unpack_bits(pg, jnp.float32)[:, :n]          # (M, n)
+        return lmm_scan.__wrapped__(g, y, w, U, None, n_grid, n_refine)
+
+    return jax.vmap(per_col)(jnp.asarray(packed_genos),
+                             jnp.asarray(ys, jnp.float32))
 
 
 def grammar_gamma_score(genotypes, y_transformed, n_used, min_count):

@@ -395,3 +395,70 @@ def test_score_tilemax_pallas_interpret_matches_xla():
             np.testing.assert_allclose(picked2[uniq],
                                        np.asarray(tm2)[uniq],
                                        rtol=1e-5, atol=1e-5)
+        # third capture: the exactness guard (tmax3 <= th) | (n3 == 1)
+        # depends on n3 — pin it between paths, and spot-check targ3 where
+        # the third value is unique (mirrors the targ2 assertion)
+        np.testing.assert_array_equal(np.asarray(n3_p), np.asarray(n3_x))
+        np.testing.assert_allclose(np.asarray(tm3_p), np.asarray(tm3_x),
+                                   rtol=1e-5, atol=1e-5)
+        uniq3 = uniq & (srt[:, :, 2] > srt[:, :, 3])
+        for ta3, tm3 in ((ta3_p, tm3_p), (ta3_x, tm3_x)):
+            picked3 = np.take_along_axis(
+                s3, np.clip(np.asarray(ta3), 0, 63)[:, :, None],
+                axis=2)[:, :, 0]
+            np.testing.assert_allclose(picked3[uniq3],
+                                       np.asarray(tm3)[uniq3],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_scan_step_compact_narrow_append_exact():
+    """cand_q narrow appends (only the top-q sorted candidates kept when the
+    (q+1)-th is provably <= thresh) must leave the final top-k bit-identical
+    to the plain path; the narrow branch must actually engage."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(21)
+    n, p, k = 40, 3, 16
+    n_pad = 128
+    rows_per, n_batches = 256, 30
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    batches = []
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        batches.append((packed, pc, jnp.asarray(lo), jnp.asarray(hi)))
+
+    state_p = topk.init_state(p, k)
+    for packed, pc, lo, hi in batches:
+        state_p = scanstep.scan_step(state_p, packed, pc, lo, hi, yp, ysum,
+                                     n_used=n, min_count=min_count,
+                                     kernel="xla", cand_k=8)
+
+    state_c = scanstep.init_buffered_state(p, k, buf_cap=96)
+    n_narrow = n_wide = 0
+    for packed, pc, lo, hi in batches:
+        prev_n = int(state_c.buf_n)
+        state_c = scanstep.scan_step_compact(
+            state_c, packed, pc, lo, hi, yp, ysum, n_used=n,
+            min_count=min_count, kernel="xla", cand_c=16, cand_k=12,
+            tile_rows=16, cand_q=8)
+        d = int(state_c.buf_n) - prev_n
+        if d == 8:
+            n_narrow += 1
+        elif d == 48:
+            n_wide += 1
+    assert n_narrow >= 3, f"narrow append never engaged ({n_narrow})"
+    final_c = scanstep.flush_buffered(state_c)
+    np.testing.assert_array_equal(np.asarray(state_p.scores),
+                                  np.asarray(final_c.scores))
+    np.testing.assert_array_equal(
+        topk.decode_rows(np.asarray(state_p.row_lo),
+                         np.asarray(state_p.row_hi)),
+        topk.decode_rows(np.asarray(final_c.row_lo),
+                         np.asarray(final_c.row_hi)))

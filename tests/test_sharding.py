@@ -207,3 +207,42 @@ def test_production_sharded_kinship_bit_exact(mesh, tmp_path):
     K_c1 = km.kinship_from_table(pop["base"], mesh=mesh, checkpoint_path=ck,
                                  checkpoint_every=2, **kw)
     np.testing.assert_array_equal(K_c1, K_ref)
+
+
+@pytest.mark.slow
+def test_production_sharded_associate_flagship_shape(mesh, tmp_path):
+    """Pin the multi-device scan at FLAGSHIP scan parameters — 2M global
+    rows/batch x 101 columns x top-10001 (VERDICT r2 item 5): exercises the
+    production cand_c/cand_k/cand_q/buffer-capacity coupling
+    (pipeline/scan.py) at real widths instead of toy ones. N is kept small
+    (the parameter coupling under test depends on rows/K/P, not N)."""
+    import jax.numpy as jnp
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.pipeline import scan as scan_mod
+    rng = np.random.default_rng(33)
+    rows, n, p, k, kmer_len = 1 << 22, 100, 101, 10001, 31
+    names = [f"a{i}" for i in range(n)]
+    base = str(tmp_path / "big")
+    wf = (n + 63) // 64
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        chunk = 1 << 20
+        last_mask = np.uint64((1 << (n - (wf - 1) * 64)) - 1)
+        for s in range(0, rows, chunk):
+            rec = np.empty((chunk, 1 + wf), dtype="<u8")
+            rec[:, 0] = np.arange(s, s + chunk, dtype=np.uint64) * np.uint64(11)
+            rec[:, 1:] = rng.integers(0, 1 << 63, size=(chunk, wf),
+                                      dtype=np.uint64)
+            rec[:, wf] &= last_mask
+            rec.tofile(f)
+    y = rng.normal(size=(n, p))
+    cols = [f"c{j}" for j in range(p)]
+    kw = dict(kmer_len=kmer_len, n_top=k, maf=0.05, mac=5,
+              batch_size=1 << 21)
+    ref = scan_mod.associate(base, names, y, cols, **kw)
+    got = scan_mod.associate(base, names, y, cols, mesh=mesh, **kw)
+    assert got.n_tested == ref.n_tested
+    for j in range(0, p, 10):
+        np.testing.assert_array_equal(got.rows[j], ref.rows[j])
+        np.testing.assert_allclose(got.scores[j], ref.scores[j], rtol=0)

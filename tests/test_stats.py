@@ -334,3 +334,32 @@ def test_emma_ml_lrt_scales_to_m1000_n500():
     dt = time.perf_counter() - t0
     assert ps.shape == (m, 1) and np.all((ps >= 0) & (ps <= 1))
     assert dt < 60, f"ML.LRT at m=1000,n=500 took {dt:.1f}s"
+
+
+def test_lmm_packed_device_path_matches_host64():
+    """lmm_scan_columns_packed (f32, on-device unpack) agrees with the f64
+    host route to permutation-threshold resolution."""
+    from kmersgwas_tpu.stats import lmm
+    rng = np.random.default_rng(17)
+    n, m, p = 96, 40, 3
+    G0 = rng.normal(size=(n, 2 * n))
+    K = G0 @ G0.T / (2 * n)
+    K = K / np.diag(K).mean()
+    w, U = np.linalg.eigh(K)
+    genos = (rng.random((p, m, n)) < 0.4).astype(np.float64)
+    ys = rng.normal(size=(p, n))
+    ref = lmm.lmm_scan_columns(genos, ys, w, U, n_grid=64, n_refine=40)
+
+    n64 = (n + 63) // 64
+    bits = np.zeros((p, m, n64 * 64), np.uint8)
+    bits[:, :, :n] = genos
+    packed = np.packbits(bits, axis=2, bitorder="little").view("<u4")
+    got = lmm.lmm_scan_columns_packed(packed, ys, w, U, n=n,
+                                      n_grid=64, n_refine=40)
+    p_ref = np.asarray(ref.p_lrt, np.float64)
+    p_got = np.asarray(got.p_lrt, np.float64)
+    np.testing.assert_allclose(p_got, p_ref, atol=2e-3)
+    small = p_ref < 0.05
+    if small.any():
+        np.testing.assert_allclose(np.log10(p_got[small]),
+                                   np.log10(p_ref[small]), atol=5e-2)
