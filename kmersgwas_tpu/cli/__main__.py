@@ -235,6 +235,61 @@ def _add_associate(sub):
     p.set_defaults(func=run)
 
 
+def _add_associate_mp(sub):
+    p = sub.add_parser(
+        "associate-mp",
+        help="multi-PROCESS association scan: run this command once per "
+             "host with a shared coordinator; each process streams only its "
+             "k-mer range of the table (parallel/multihost.py)")
+    p.add_argument("-p", "--phenotype_file", required=True,
+                   help="TRANSFORMED phenotype columns")
+    p.add_argument("-b", "--best", type=int, default=10001)
+    p.add_argument("-t", "--kmers_table", required=True)
+    p.add_argument("-k", "--kmer_len", type=int, required=True)
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("--base_name", default="pheno")
+    p.add_argument("--batch_size", type=int, default=2_000_000)
+    p.add_argument("--maf", type=float, default=0.05)
+    p.add_argument("--mac", type=int, default=5)
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--coordinator", required=True,
+                   help="host:port of process 0")
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--process_id", type=int, required=True)
+
+    def run(a):
+        from ..core import formats
+        from ..parallel import multihost
+        from ..pipeline import scan as scan_mod
+        from ..core.table import KmersTableReader
+        multihost.init_distributed(coordinator_address=a.coordinator,
+                                   num_processes=a.num_processes,
+                                   process_id=a.process_id)
+        pheno = formats.read_phenotypes(a.phenotype_file)
+        per_pheno, n_tested = multihost.run_distributed_scan(
+            a.kmers_table, pheno.accessions, pheno.values, pheno.names,
+            kmer_len=a.kmer_len, n_top=a.best, maf=a.maf, mac=a.mac,
+            batch_size=a.batch_size,
+            use_pallas=True if a.pallas else "auto")
+        if a.process_id == 0:     # replicated result: one writer
+            reader = KmersTableReader(a.kmers_table,
+                                      names_to_use=pheno.accessions)
+            all_rows = np.unique(np.concatenate(
+                [rw for _, rw in per_pheno])) if per_pheno else np.empty(0)
+            kmer_of_row, pa_of_row = scan_mod.fetch_rows(
+                reader, all_rows.astype(np.int64))
+            base = f"{a.output_dir}/{a.base_name}"
+            for j, name in enumerate(pheno.names):
+                sc, rw = per_pheno[j]
+                kk = np.array([kmer_of_row[int(r)] for r in rw], np.uint64)
+                formats.write_best_kmers_scores(
+                    f"{base}.{j}.best_kmers.scores", kk, sc)
+            with open(f"{base}.tested_kmers", "w") as f:
+                f.write(f"{n_tested}\n")
+        print(f"process {a.process_id}: tested {n_tested} k-mers (global)")
+    p.set_defaults(func=run)
+
+
 def _add_kinship(sub):
     p = sub.add_parser("kinship", help="kinship from k-mers table (emma_kinship_kmers)")
     p.add_argument("-t", "--kmers_table", required=True)
@@ -373,7 +428,8 @@ def main(argv=None):
                                  description="TPU-native k-mer GWAS toolkit")
     sub = ap.add_subparsers(dest="command", required=True)
     for add in (_add_gwas, _add_count, _add_strand_merge, _add_list_kmers,
-                _add_build_table, _add_associate, _add_kinship,
+                _add_build_table, _add_associate, _add_associate_mp,
+                _add_kinship,
                 _add_kinship_bed, _add_associate_snps, _add_table_to_bed,
                 _add_filter_kmers, _add_kmc, _add_histogram):
         add(sub)

@@ -90,15 +90,18 @@ class KmersTableReader:
 
     # -- raw row streaming ---------------------------------------------------
 
-    def iter_raw(self, rows_per_chunk: int, start_row: int = 0):
+    def iter_raw(self, rows_per_chunk: int, start_row: int = 0,
+                 end_row: int | None = None):
         """Yield (start_row, raw rows (R, 1+Wf) uint64) sequentially."""
         wf = self.header.row_words()
+        stop = self.n_rows_total if end_row is None else min(end_row,
+                                                             self.n_rows_total)
         with open(self.base + ".table", "rb") as f:
             f.seek(formats.TableHeader.HEADER_BYTES
                    + start_row * self.header.row_bytes())
             start = start_row
-            while start < self.n_rows_total:
-                take = min(rows_per_chunk, self.n_rows_total - start)
+            while start < stop:
+                take = min(rows_per_chunk, stop - start)
                 raw = np.fromfile(f, dtype="<u8", count=take * (1 + wf))
                 raw = raw.reshape(take, 1 + wf)
                 yield start, raw
@@ -129,12 +132,14 @@ class KmersTableReader:
 
     def iter_batches(self, batch_size: int, min_count: int,
                      kmers_subset: np.ndarray | None = None,
-                     start_row: int = 0):
+                     start_row: int = 0, end_row: int | None = None):
         """Yield TableBatch objects of <= batch_size MAC-passing k-mers.
 
         `min_count` filters both tails: min_count <= N1 <= n_used - min_count
         (kmers_multiple_databases.cpp:118-119). `kmers_subset`, if given,
-        restricts rows to a sorted uint64 k-mer set (:117).
+        restricts rows to a sorted uint64 k-mer set (:117). `end_row` bounds
+        the scan to rows [start_row, end_row) — the contiguous host span of
+        a range-partitioned multi-process run (parallel/multihost.py).
         """
         pend: list[TableBatch] = []
         pend_rows = 0
@@ -151,7 +156,8 @@ class KmersTableReader:
 
         use_native = _native_squeeze_available()
         chunk = max(1 << 16, min(batch_size, 1 << 21))
-        for start, raw in self.iter_raw(chunk, start_row=start_row):
+        for start, raw in self.iter_raw(chunk, start_row=start_row,
+                                          end_row=end_row):
             if use_native:
                 from .. import native
                 kmers_all, packed_all, pc, keep = native.squeeze_pack(

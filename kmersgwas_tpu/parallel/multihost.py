@@ -87,3 +87,123 @@ def replicated(mesh: Mesh, *arrays):
     sharding = NamedSharding(mesh, P())
     return [jax.make_array_from_process_local_data(sharding, np.asarray(a))
             for a in arrays]
+
+
+def init_global_buffered_state(mesh: Mesh, n_phenotypes: int, k: int,
+                               buf_cap: int):
+    """Multi-process variant of sharding.init_sharded_buffered_state: each
+    process materializes only its local device shards and assembles the
+    global (D, ...) arrays with make_array_from_process_local_data."""
+    from ..ops import scanstep as ss
+    d_loc = len([d for d in mesh.devices.ravel()
+                 if d.process_index == jax.process_index()])
+    sharding = NamedSharding(mesh, P(AXIS))
+
+    def put(local):
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    z = np.zeros((d_loc, n_phenotypes, k), np.int32)
+    zb = np.zeros((d_loc, n_phenotypes, buf_cap), np.int32)
+    return ss.BufferedTopKState(
+        scores=put(np.full((d_loc, n_phenotypes, k), -np.inf, np.float32)),
+        row_lo=put(z), row_hi=put(z.copy()),
+        buf_v=put(np.full((d_loc, n_phenotypes, buf_cap), -np.inf,
+                          np.float32)),
+        buf_lo=put(zb), buf_hi=put(zb.copy()),
+        buf_n=put(np.zeros(d_loc, np.int32)),
+        thresh=put(np.full((d_loc, n_phenotypes), -np.inf, np.float32)))
+
+
+def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
+                         pheno_names, *, kmer_len: int, n_top: int = 10001,
+                         maf: float = 0.05, mac: int = 5,
+                         batch_size: int = 2_000_000,
+                         use_pallas="auto", progress=None):
+    """PRODUCT multi-process scan driver: every participating process calls
+    this in lockstep AFTER init_distributed(). Returns the per-phenotype
+    merged (scores, rows) lists plus n_tested — identical content on every
+    process (the finalize all_gather replicates candidates).
+
+    Topology: this process streams ONLY its contiguous k-mer range of the
+    sorted table (host_row_span — DCN never carries table rows); within a
+    global step the rows shard across all devices of the global mesh and
+    the compact per-device top-k state never communicates until finalize.
+    The table must be visible on every host's filesystem (the reference's
+    shared-FS model, SURVEY.md §2.5)."""
+    import math as _math
+    from ..core.table import KmersTableReader
+    from ..ops import score as score_ops
+    from ..ops import topk as topk_ops
+    from ..utils import pick_kernel
+    from . import sharding as shard_mod
+
+    mesh = global_mesh()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    n_dev = mesh.devices.size
+
+    reader = KmersTableReader(table_base, names_to_use=pheno_accessions)
+    n_used = reader.n_used
+    min_count = max(int(mac), _math.ceil(n_used * maf))
+    n_pad = reader.w32 * 32
+    pheno_values = np.asarray(pheno_values)
+    p = pheno_values.shape[1]
+    kernel = pick_kernel(use_pallas)
+    tile = 2048 if kernel == "pallas" else 128
+
+    # per-process slice of each global batch, padded so every DEVICE shard
+    # is a whole number of kernel tiles
+    quantum = tile * max(1, n_dev // n_proc)
+    local_rows = ((max(batch_size // n_proc, 1) + quantum - 1)
+                  // quantum) * quantum
+    shard_rows = local_rows * n_proc // n_dev
+    cand_c = min(256, n_top, max(1, shard_rows // tile))
+    cand_k = min(max(cand_c, n_top // 8), n_top, shard_rows)
+    cand_q = 64
+
+    spans = [host_row_span(table_base, h, n_proc) for h in range(n_proc)]
+    n_steps = max(1, max(-(-(e - s) // local_rows) for s, e in spans))
+    my_lo, my_hi = spans[pid]
+
+    yp, ysum = score_ops.prepare_phenotypes(
+        np.asarray(pheno_values, np.float32), n_pad)
+    ypr, ysr = replicated(mesh, np.asarray(yp), np.asarray(ysum))
+    state = init_global_buffered_state(mesh, p, n_top, buf_cap=cand_c * 24)
+    step = shard_mod.build_sharded_scan_step_compact(
+        mesh, n_used=n_used, min_count=min_count, kernel=kernel,
+        cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
+
+    batches = reader.iter_batches(local_rows, min_count, start_row=my_lo,
+                                  end_row=my_hi)
+    n_tested_local = 0
+    for _ in range(n_steps):
+        try:
+            b = next(batches)
+            bp, bpc, brows = b.packed, b.popcnt, b.row_index
+        except StopIteration:
+            bp = np.zeros((0, reader.w32), np.uint32)
+            bpc = np.zeros(0, np.float32)
+            brows = np.zeros(0, np.int64)
+        r = len(brows)
+        n_tested_local += r
+        packed = np.zeros((local_rows, reader.w32), np.uint32)
+        packed[:r] = bp
+        popcnt = np.zeros(local_rows, np.float32)
+        popcnt[:r] = bpc
+        rows = np.zeros(local_rows, np.int64)
+        rows[:r] = brows
+        lo, hi = topk_ops.encode_rows(rows)
+        gp, gpc, glo, ghi = make_global_batch(mesh,
+                                              [packed, popcnt, lo, hi])
+        state = step(state, gp, gpc, glo, ghi, ypr, ysr)
+        if progress is not None:
+            progress(r)
+
+    per_pheno = shard_mod.finalize_sharded_buffered(state, mesh)
+    if n_proc > 1:      # global MAC-passing count: one scalar allgather
+        from jax.experimental import multihost_utils
+        n_tested = int(multihost_utils.process_allgather(
+            np.int64(n_tested_local)).sum())
+    else:
+        n_tested = n_tested_local
+    return per_pheno, n_tested

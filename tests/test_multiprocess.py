@@ -85,3 +85,76 @@ def test_two_process_sharded_scan(tmp_path):
         nv = len(bref[j][0])
         np.testing.assert_allclose(zb["scores"][j][:nv], bref[j][0], rtol=1e-5)
         np.testing.assert_array_equal(zb["rows"][j][:nv], bref[j][1])
+
+
+@pytest.mark.slow
+def test_two_process_product_driver_cli(tmp_path):
+    """The PRODUCT multi-process driver (CLI `associate-mp` ->
+    multihost.run_distributed_scan): two jax.distributed processes each
+    stream their own host_row_span of a real table; the merged top-k written
+    by process 0 must equal the single-process associate() result."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.ops import bitplanes
+
+    rng = np.random.default_rng(44)
+    rows, n, p, k, kmer_len = 600, 24, 3, 25, 15
+    names = [f"acc{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, p))
+    pheno_path = str(tmp_path / "t.pheno")
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=list("abc"), accessions=names, values=y))
+
+    port = _free_port()
+    env = {k_: v for k_, v in os.environ.items()
+           if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__)) \
+        if "__file__" in globals() else os.getcwd()
+    import kmersgwas_tpu
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        kmersgwas_tpu.__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    args = ["-p", pheno_path, "-t", base, "-k", str(kmer_len),
+            "-o", str(tmp_path), "-b", str(k), "--maf", "0.05", "--mac", "2",
+            "--batch_size", "128",
+            "--coordinator", f"127.0.0.1:{port}", "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "associate-mp",
+         *args, "--process_id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    outs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        outs.append(out.decode(errors="replace"))
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out[-3000:]
+
+    from kmersgwas_tpu.pipeline import scan as scan_mod
+    ref = scan_mod.associate(base, names, y, list("abc"), kmer_len=kmer_len,
+                             n_top=k, maf=0.05, mac=2, batch_size=128)
+    for j in range(p):
+        # dump format is ascending-score heap-pop order (formats.
+        # write_best_kmers_scores); compare as sorted multisets
+        got_k, got_s = formats.read_best_kmers_scores(
+            str(tmp_path / f"pheno.{j}.best_kmers.scores"))
+        np.testing.assert_array_equal(np.sort(got_k), np.sort(ref.kmers[j]))
+        # separately-compiled processes order f32 reductions differently
+        np.testing.assert_allclose(np.sort(got_s), np.sort(ref.scores[j]),
+                                   rtol=1e-4)
+    n_tested = int(open(tmp_path / "pheno.tested_kmers").read())
+    assert n_tested == ref.n_tested
