@@ -105,10 +105,24 @@ def remle_from_eigen(etas: jax.Array, lam: jax.Array,
     return REMLEResult(reml_ll=max_ll, delta=maxdelta, vg=vg, ve=ve)
 
 
-def remle(y, K, X=None) -> REMLEResult:
-    """emma.REMLE(y, X, K) with X defaulting to the intercept column."""
+def _apply_Z(K, Z, dtype):
+    """emma's Z incidence matrix (n observations x t groups, emma.R:398-400):
+    the model y = X b + Z u + e with u ~ N(0, vg K_t) is identical to the
+    no-Z model with K_eff = Z K Z' (n x n) — every likelihood quantity
+    (y'Py, |H|, |X'Hinv X|) depends on K only through Z K Z' + delta I, so
+    one dense K_eff reproduces emma.R's specialised w.Z eigen routines
+    (emma.R:55-83) exactly, including the delta^(n-t) null-space factors
+    (they are the ~zero eigenvalues of Z K Z')."""
+    if Z is None:
+        return jnp.asarray(K, dtype)
+    Z = jnp.asarray(Z, dtype)
+    return Z @ jnp.asarray(K, dtype) @ Z.T
+
+
+def remle(y, K, X=None, Z=None) -> REMLEResult:
+    """emma.REMLE(y, X, K, Z) with X defaulting to the intercept column."""
     y = jnp.asarray(y, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    K = jnp.asarray(K, y.dtype)
+    K = _apply_Z(K, Z, y.dtype)
     n = y.shape[0]
     if X is None:
         X = jnp.ones((n, 1), y.dtype)
@@ -181,10 +195,10 @@ def mle_from_eigen(etas, lam_R, xi, llim: float = -10.0, ulim: float = 10.0,
                        ve=vg * maxdelta)
 
 
-def mle(y, K, X=None) -> REMLEResult:
-    """emma.MLE(y, X, K): full-ML variance components."""
+def mle(y, K, X=None, Z=None) -> REMLEResult:
+    """emma.MLE(y, X, K, Z): full-ML variance components (Z as in remle)."""
     y = jnp.asarray(y, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    K = jnp.asarray(K, y.dtype)
+    K = _apply_Z(K, Z, y.dtype)
     n = y.shape[0]
     if X is None:
         X = jnp.ones((n, 1), y.dtype)
@@ -370,7 +384,7 @@ def _ml_lrt_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
     return ml1, vg, ve, ml0
 
 
-def emma_ML_LRT(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
+def emma_ML_LRT(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
                 ulim: float = 10.0, n_bisect: int = 60):
     """emma.ML.LRT: per-variant ML likelihood-ratio test (emma.R:495-741).
 
@@ -387,7 +401,7 @@ def emma_ML_LRT(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     ys = jnp.atleast_2d(jnp.asarray(ys, dt))
     xs = jnp.atleast_2d(jnp.asarray(xs, dt))
-    K = jnp.asarray(K, dt)
+    K = _apply_Z(K, Z, dt)
     m, g = xs.shape[0], ys.shape[0]
 
     ys_na = _np.isnan(_np.asarray(ys))
@@ -466,7 +480,7 @@ def _reml_t_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
     return jax.vmap(lambda xt: jax.vmap(lambda yt: one(xt, yt))(yts))(xts)
 
 
-def emma_REML_t(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
+def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
                 ulim: float = 10.0, n_bisect: int = 60):
     """emma.REML.t: per-variant REML Wald t-test (emma.R:1013-1274).
 
@@ -477,7 +491,7 @@ def emma_REML_t(ys, xs, K, ngrids: int = 100, llim: float = -10.0,
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     ys = jnp.atleast_2d(jnp.asarray(ys, dt))
     xs = jnp.atleast_2d(jnp.asarray(xs, dt))
-    K = jnp.asarray(K, dt)
+    K = _apply_Z(K, Z, dt)
     m, g = xs.shape[0], ys.shape[0]
     n = ys.shape[1]
     q1 = 2

@@ -363,3 +363,39 @@ def test_lmm_packed_device_path_matches_host64():
     if small.any():
         np.testing.assert_allclose(np.log10(p_got[small]),
                                    np.log10(p_ref[small]), atol=5e-2)
+
+
+def test_emma_Z_incidence_matrix_equals_expanded_kinship():
+    """Z-matrix configurations (emma.R:398-400, 55-83): Z=I reproduces the
+    no-Z result exactly, and a replication incidence Z equals running with
+    the manually expanded per-observation kinship Z K Z'."""
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(19)
+    t, reps = 15, 2
+    n = t * reps
+    G0 = rng.normal(size=(t, 3 * t))
+    Kt = G0 @ G0.T / (3 * t)
+    Kt = Kt / np.diag(Kt).mean()
+    Z = np.zeros((n, t))
+    Z[np.arange(n), np.repeat(np.arange(t), reps)] = 1.0
+    y = rng.normal(size=n)
+    xs = (rng.random((3, n)) < 0.4).astype(float)
+
+    Kn = Z @ Kt @ Z.T
+    r_eye = emma.remle(y[:t], Kt, Z=np.eye(t))
+    r_ref = emma.remle(y[:t], Kt)
+    assert np.isclose(float(r_eye.vg), float(r_ref.vg), rtol=1e-12)
+
+    rz = emma.remle(y, Kt, Z=Z)
+    rk = emma.remle(y, Kn)
+    assert np.isclose(float(rz.vg), float(rk.vg), rtol=1e-10)
+    assert np.isclose(float(rz.delta), float(rk.delta), rtol=1e-10)
+
+    oz = emma.emma_ML_LRT(y, xs, Kt, Z=Z)
+    ok_ = emma.emma_ML_LRT(y, xs, Kn)
+    np.testing.assert_allclose(np.asarray(oz["ps"]), np.asarray(ok_["ps"]),
+                               rtol=1e-8)
+    tz = emma.emma_REML_t(y, xs, Kt, Z=Z)
+    tk = emma.emma_REML_t(y, xs, Kn)
+    np.testing.assert_allclose(np.asarray(tz["stats"]),
+                               np.asarray(tk["stats"]), rtol=1e-8)
