@@ -58,13 +58,19 @@ def load_scan_state(path: str):
 
 
 def save_kinship_state(path: str, total: np.ndarray, n_rows: int,
-                       next_row: int) -> None:
+                       next_row: int, stream: str = "table") -> None:
+    """`stream` tags which row numbering next_row refers to ("table" rows
+    or "dtable" cache rows) so a resume never mixes the two."""
     _atomic_savez(path, total=total, n_rows=np.int64(n_rows),
-                  next_row=np.int64(next_row))
+                  next_row=np.int64(next_row),
+                  stream=np.bytes_(stream.encode()))
 
 
-def load_kinship_state(path: str):
+def load_kinship_state(path: str, stream: str = "table"):
     if not os.path.exists(_norm(path)):
         return None
     z = np.load(_norm(path))
+    tag = bytes(z["stream"]).decode() if "stream" in z else "table"
+    if tag != stream:
+        return None               # checkpoint from the other stream route
     return z["total"], int(z["n_rows"]), int(z["next_row"])

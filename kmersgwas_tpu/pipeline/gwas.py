@@ -169,8 +169,11 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     else:
         log("computing kinship from k-mers table")
         with stage("kinship"):
-            K_full = kinship_mod.kinship_from_table(cfg.kmers_table,
-                                                    maf=cfg.kinship_maf)
+            # the scan's dtable cache feeds kinship too when its stored
+            # filter matches (kinship_from_table validates and falls back)
+            K_full = kinship_mod.kinship_from_table(
+                cfg.kmers_table, maf=cfg.kinship_maf,
+                dtable_cache=cfg.dtable_cache)
         kin_names = table_names
         kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
 

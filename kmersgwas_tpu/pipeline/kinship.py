@@ -79,7 +79,11 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
                        batch_size: int = 1 << 20, names_to_use=None,
                        checkpoint_path: str | None = None,
                        checkpoint_every: int = 50, mesh=None,
+                       dtable_cache: str | None = None,
                        progress=None) -> np.ndarray:
+    """dtable_cache: optional device-native pre-packed table (core/dtable);
+    used only when its stored min_count/n_used match this call's filter, so
+    the accumulated row set is identical to the raw-table route."""
     from . import checkpoint as ckpt
     reader = KmersTableReader(table_base, names_to_use=names_to_use)
     min_count = math.ceil(reader.n_used * maf)
@@ -90,11 +94,46 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
     else:
         acc = KinshipAccumulator(n_used=reader.n_used, n_pad=reader.w32 * 32)
         to_dev = jnp.asarray
+    dt = None
+    if dtable_cache:
+        import os
+        from ..core import dtable as dt_mod
+        if not os.path.exists(dtable_cache):
+            dt_mod.build_dtable(table_base, dtable_cache,
+                                names_to_use=names_to_use,
+                                min_count=min_count)
+        cand = dt_mod.DTableReader(dtable_cache)
+        if (cand.hdr.min_count == min_count
+                and cand.hdr.n_used == reader.n_used):
+            dt = cand            # else: stale cache for a different filter
+
+    stream_tag = "dtable" if dt is not None else "table"
     start_row = 0
     if checkpoint_path:
-        resumed = ckpt.load_kinship_state(checkpoint_path)
+        resumed = ckpt.load_kinship_state(checkpoint_path, stream=stream_tag)
         if resumed is not None:
             acc.total, acc.n_rows, start_row = resumed
+
+    if dt is not None:
+        # dtable rows are already MAC-filtered and packed: feed directly;
+        # checkpoint positions are DTABLE row indices (stream-tagged)
+        batch_i = 0
+        for s_, planes, _, rows in dt.iter_batches(batch_size,
+                                                   start_row=start_row):
+            r = len(rows)
+            if r == 0:
+                continue
+            acc.add(to_dev(np.ascontiguousarray(planes)))
+            batch_i += 1
+            if checkpoint_path and batch_i % checkpoint_every == 0:
+                acc.flush()
+                ckpt.save_kinship_state(checkpoint_path, acc.total,
+                                        acc.n_rows, s_ + r,
+                                        stream=stream_tag)
+            if progress is not None:
+                progress(r)
+        return acc.finalize()
+
     batch_i = 0
     for batch in reader.iter_batches(batch_size, min_count, start_row=start_row):
         if batch.n_rows == 0:

@@ -355,3 +355,27 @@ def test_pattern_counter_amortized_equals_union():
         naive.update(codec.pattern_hash(w64).tolist())
         pc.add(packed)
         assert pc.count == len(naive)
+
+
+def test_kinship_dtable_route_matches_raw(tmp_path):
+    """kinship_from_table(dtable_cache=...) accumulates exactly the raw
+    route's row set (stale caches with a different filter are ignored), and
+    the stream-tagged checkpoint resumes on the right row numbering."""
+    from kmersgwas_tpu.pipeline import kinship as km
+    pop = build_population(tmp_path, n_samples=20, n_kmers=400)
+    dtc = str(tmp_path / "k.dtable")
+    K_raw = km.kinship_from_table(pop["base"], maf=0.1, batch_size=64)
+    K_dt = km.kinship_from_table(pop["base"], maf=0.1, batch_size=64,
+                                 dtable_cache=dtc)
+    np.testing.assert_array_equal(K_dt, K_raw)
+    # stale cache (built for maf=0.1) must be ignored for maf=0.3
+    K_raw2 = km.kinship_from_table(pop["base"], maf=0.3, batch_size=64)
+    K_dt2 = km.kinship_from_table(pop["base"], maf=0.3, batch_size=64,
+                                  dtable_cache=dtc)
+    np.testing.assert_array_equal(K_dt2, K_raw2)
+    # checkpointed dtable run
+    ck = str(tmp_path / "kc")
+    K_c = km.kinship_from_table(pop["base"], maf=0.1, batch_size=64,
+                                dtable_cache=dtc, checkpoint_path=ck,
+                                checkpoint_every=2)
+    np.testing.assert_array_equal(K_c, K_raw)
