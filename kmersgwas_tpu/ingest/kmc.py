@@ -34,10 +34,14 @@ count-file format (and ours exported for KMC-based tooling):
             first symbol in the top 2 bits) + counter_size LE counter bytes
 
 STATUS: implemented from the published KMC format description and
-round-trip tested against itself for both versions; byte-level
-compatibility with real KMC 3 output is untested in this environment (no
-KMC binary available). Treat `read_kmc` failures on external files as a
-format-version issue and report them.
+round-trip tested against itself for both versions across the parameter
+grid counter_size 1-4 x lut_prefix_len extremes x k in {15,21,25,31} x
+both_strands x both on-disk versions, plus forward compatibility with
+header_size larger than the known struct (tests/test_formats_ingest.py).
+Byte-level compatibility with real KMC 3 output remains unvalidated in
+this environment (no KMC binary available, no network egress to fetch
+one). Treat `read_kmc` failures on external files as a format-version
+issue and report them.
 """
 from __future__ import annotations
 
