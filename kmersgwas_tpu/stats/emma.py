@@ -539,6 +539,22 @@ def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
             "dfs": dfs}
 
 
+def emma_test(ys, xs, K, Z=None, use_MLE: bool = False,
+              use_LRT: bool = False, ngrids: int = 100,
+              llim: float = -10.0, ulim: float = 10.0):
+    """emma.test (emma.R:743-1010): dispatch wrapper over the per-variant
+    tests — REML Wald t by default, ML likelihood-ratio when use_MLE or
+    use_LRT. Only the single-df, no-extra-covariate configuration is
+    supported: the reference function's generalized branches reference
+    undefined variables (`m`, `g`, emma.R:777-784) and reject every Z
+    (`stopifnot(Z == NULL)` errors on NULL itself, emma.R:766), so they are
+    unrunnable as shipped; here Z is supported via K_eff = Z K Z'."""
+    if use_MLE or use_LRT:
+        return emma_ML_LRT(ys, xs, K, Z=Z, ngrids=ngrids, llim=llim,
+                           ulim=ulim)
+    return emma_REML_t(ys, xs, K, Z=Z, ngrids=ngrids, llim=llim, ulim=ulim)
+
+
 def is_positive_semi_definite(K, tol: float = 1e-8) -> bool:
     """PSD gate on the kinship matrix (transform_and_permute_phenotypes.R:54-57)."""
     w = jnp.linalg.eigvalsh(jnp.asarray(K))
