@@ -149,25 +149,29 @@ def main(n_windows: int = 30, steps_per_window: int = 16):
         out_ref[...] = pltpu.prng_random_bits(out_ref.shape)
 
     def gen(seed):
-        packed = pl.pallas_call(
+        # emit directly TRANSPOSED (W32, R): k-mers ride the 128-lane axis
+        # (full vreg utilization vs 32-wide rows) and the scan kernel takes
+        # the layout as-is (pre_transposed), skipping a 512 MB/batch
+        # device relayout
+        packed_t = pl.pallas_call(
             _gen_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(rows // gen_tile,),
                 in_specs=[],
-                out_specs=pl.BlockSpec((gen_tile, w32), lambda i, s: (i, 0),
+                out_specs=pl.BlockSpec((w32, gen_tile), lambda i, s: (0, i),
                                        memory_space=pltpu.VMEM),
             ),
-            out_shape=jax.ShapeDtypeStruct((rows, w32), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((w32, rows), jnp.uint32),
         )(jnp.reshape(seed, (1,)))
-        pc = jnp.sum(jax.lax.population_count(packed), axis=1
+        pc = jnp.sum(jax.lax.population_count(packed_t), axis=0
                      ).astype(jnp.float32)
-        return packed, pc
+        return packed_t, pc
 
     step = functools.partial(
         ss.scan_step_compact.__wrapped__, y_padded=yp, y_sum=ysum,
         n_used=n_used, min_count=min_count, kernel="pallas", cand_c=256,
-        cand_k=2048, tile_rows=2048, cand_q=64)
+        cand_k=2048, tile_rows=2048, cand_q=64, pre_transposed=True)
 
     @jax.jit
     def window(state, seed, base):
@@ -212,14 +216,21 @@ def main(n_windows: int = 30, steps_per_window: int = 16):
     med = float(np.median(rates))
     p10, p90 = float(np.percentile(rates, 10)), float(np.percentile(rates, 90))
     spread = (p90 - p10) / med
+    # the early-stream transient (hot batches -> wide appends/fallbacks) is
+    # real work and stays in the timed region; steady-state spread over the
+    # last half separates genuine relay noise from that transient
+    tail = rates[len(rates) // 2:]
+    t10, t90 = float(np.percentile(tail, 10)), float(np.percentile(tail, 90))
+    spread_tail = (t90 - t10) / float(np.median(tail))
     print("window ms: " + " ".join(f"{t*1e3:.0f}" for t in win_s),
           file=sys.stderr)
     print(f"median {med/1e6:.1f}M/s  p10 {p10/1e6:.1f}M  p90 {p90/1e6:.1f}M  "
-          f"spread {spread:.2f}", file=sys.stderr, flush=True)
-    if spread > 0.5:
-        print("WARNING: window spread > 50% — relay was unstable during "
-              "this run; the median remains the robust estimate",
-              file=sys.stderr, flush=True)
+          f"spread {spread:.2f} (steady tail {spread_tail:.2f})",
+          file=sys.stderr, flush=True)
+    if spread_tail > 0.5:
+        print("WARNING: steady-state window spread > 50% — relay was "
+              "unstable during this run; the median remains the robust "
+              "estimate", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "assoc_scan_kmers_per_sec_per_chip",
@@ -229,6 +240,7 @@ def main(n_windows: int = 30, steps_per_window: int = 16):
                 "on-device 2M-row/step stream, ~1e9 rows total)",
         "vs_baseline": round(med / BASELINE_KMERS_PER_SEC, 3),
         "window_spread_p10_p90": round(spread, 3),
+        "steady_tail_spread": round(spread_tail, 3),
     }))
 
 

@@ -230,7 +230,7 @@ def scan_step_buffered(state: BufferedTopKState, packed, popcnt,
 
 
 def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
-             kernel, tile_rows):
+             kernel, tile_rows, pre_transposed=False):
     """-> per-tile top-3 (tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3,
     cnt), each (P, T); targ* int32 lanes within the tile, n2/n3 uniqueness
     guards for the sum-encoded targ2/targ3, cnt int32 lanes > thresh.
@@ -240,7 +240,10 @@ def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
         from .score import score_batch_t_pallas_tilemax
         return score_batch_t_pallas_tilemax.__wrapped__(
             packed, popcnt, y_padded, y_sum, thresh,
-            n_used=n_used, min_count=min_count, tile_rows=tile_rows)
+            n_used=n_used, min_count=min_count, tile_rows=tile_rows,
+            pre_transposed=pre_transposed)
+    if pre_transposed:
+        packed = packed.T
     sc = _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count)
     p, r = sc.shape
     assert r % tile_rows == 0
@@ -339,18 +342,22 @@ def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
 @functools.partial(jax.jit,
                    static_argnames=("n_used", "min_count", "kernel", "block",
                                     "cand_c", "cand_k", "tile_rows",
-                                    "cand_q"))
+                                    "cand_q", "pre_transposed"))
 def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       row_lo, row_hi, y_padded, y_sum, *, n_used: int,
                       min_count: int, kernel: str = "xla", block: int = 16,
                       cand_c: int = 128, cand_k: int = 2048,
-                      tile_rows: int = 2048,
-                      cand_q: int | None = None) -> BufferedTopKState:
+                      tile_rows: int = 2048, cand_q: int | None = None,
+                      pre_transposed: bool = False) -> BufferedTopKState:
     """One streamed batch -> buffered top-k state via the compact tile-max
     path (see block comment above). Args as scan_step_buffered, plus
     tile_rows (must divide the padded batch rows). The buffer capacity must
     be a multiple of 3 * min(cand_c, n_tiles). Semantically identical to
     scan_step_buffered: same final top-k, same tie handling.
+
+    pre_transposed: `packed` is already (W32, R) k-mers-in-lanes (sources
+    that can emit that layout skip the device relayout — see
+    score_batch_t_pallas_tilemax).
 
     cand_q: optional NARROW append width. The 3c per-batch candidates come
     out sorted descending; whenever the (q+1)-th is already <= thresh, only
@@ -363,7 +370,7 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     cand_q divides the buffer capacity."""
     k = state.scores.shape[1]
     cap = state.buf_v.shape[1]
-    rows = packed.shape[0]
+    rows = packed.shape[1] if pre_transposed else packed.shape[0]
     assert rows % tile_rows == 0
     n_tiles = rows // tile_rows
     c = min(cand_c, n_tiles)
@@ -372,7 +379,7 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
          else None)
     tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
         packed, popcnt, y_padded, y_sum, state.thresh,
-        n_used, min_count, kernel, tile_rows)
+        n_used, min_count, kernel, tile_rows, pre_transposed)
     if c < n_tiles:
         v_all, ti = jax.lax.top_k(tmax, c + 1)
         v1, ti_c = v_all[:, :c], ti[:, :c]
@@ -430,7 +437,8 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
 
     def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
         # hot batch: recompute full scores and run the exact wide merge
-        sc, bmax, tr = _scores_and_bmax(packed, popcnt, y_padded, y_sum,
+        pk = packed.T if pre_transposed else packed
+        sc, bmax, tr = _scores_and_bmax(pk, popcnt, y_padded, y_sum,
                                         n_used, min_count, kernel, block)
         return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
                             min(cand_k, sc.shape[1]), block)

@@ -279,10 +279,11 @@ def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_used", "min_count",
-                                             "tile_rows"))
+                                             "tile_rows", "pre_transposed"))
 def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
                                  n_used: int, min_count: int,
-                                 tile_rows: int = 2048):
+                                 tile_rows: int = 2048,
+                                 pre_transposed: bool = False):
     """Compact scan kernel: scores stay in VMEM; only nine (P, n_tiles)
     planes reach HBM — the per-tile TOP-3 score values with their lanes,
     uniqueness guards n2/n3, and the count of lanes scoring > thresh[p].
@@ -292,21 +293,27 @@ def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
     top-k over n_tiles = R/tile_rows lanes. Exactness bookkeeping lives in
     ops/scanstep.scan_step_compact.
 
-    packed (R, W32) uint32, popcnt (R,) f32, y_padded (N_pad, P) f32,
+    packed (R, W32) uint32 — or, with pre_transposed=True, already
+    (W32, R) so the device-side relayout is skipped (a source that can emit
+    k-mers-in-lanes directly, e.g. the bench's PRNG stream, avoids a
+    512 MB/batch HBM round trip). popcnt (R,) f32, y_padded (N_pad, P) f32,
     thresh (P,) f32 per-column displacement threshold. R % tile_rows == 0.
     Returns (tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt), each
     (P, T); targ* are int32 lanes within the tile (targ2/targ3 are only
     meaningful when n2/n3 == 1 — the caller falls back otherwise whenever
     the value is hot).
     """
-    rows, w32 = packed.shape
+    if pre_transposed:
+        w32, rows = packed.shape
+    else:
+        rows, w32 = packed.shape
     n_pad, p = y_padded.shape
     assert n_pad == w32 * 32 and rows % tile_rows == 0
     p_pad = ((p + 7) // 8) * 8
     yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
     ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
     th = jnp.full((p_pad, 1), -jnp.inf, jnp.float32).at[:p, 0].set(thresh)
-    packed_t = packed.T                                   # (W32, R)
+    packed_t = packed if pre_transposed else packed.T     # (W32, R)
     pop2 = popcnt[None, :]                                # (1, R)
     n_tiles = rows // tile_rows
     # lane dim of the outputs padded to the 128-lane store alignment; the

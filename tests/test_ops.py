@@ -462,3 +462,24 @@ def test_scan_step_compact_narrow_append_exact():
                          np.asarray(state_p.row_hi)),
         topk.decode_rows(np.asarray(final_c.row_lo),
                          np.asarray(final_c.row_hi)))
+
+
+def test_score_tilemax_pre_transposed_equivalent():
+    """pre_transposed=True on an already-(W32, R) input must match the
+    default layout bit-for-bit (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(23)
+    bits, packed, y, n_pad = rand_problem(rng, r=128, n=90, p=3)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    th = jnp.full((3,), 5.0, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = score.score_batch_t_pallas_tilemax(
+            jnp.asarray(packed), pc, yp, ysum, th, n_used=n, min_count=2,
+            tile_rows=64)
+        got = score.score_batch_t_pallas_tilemax(
+            jnp.asarray(packed).T, pc, yp, ysum, th, n_used=n, min_count=2,
+            tile_rows=64, pre_transposed=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
