@@ -198,6 +198,9 @@ def _add_associate(sub):
     p.add_argument("--kmers_scores", action="store_true")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--first_phenotype_best", type=int, default=None)
+    p.add_argument("--score_precision", default="default",
+                   choices=["default", "highest"],
+                   help="score GEMM matmul precision on TPU")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the scan over this many devices")
 
@@ -215,7 +218,8 @@ def _add_associate(sub):
                              maf=a.maf, mac=a.mac, batch_size=a.batch_size,
                              count_patterns=a.pattern_counter,
                              first_phenotype_top=a.first_phenotype_best,
-                             use_pallas=True if a.pallas else "auto", mesh=mesh)
+                             use_pallas=True if a.pallas else "auto",
+                             score_precision=a.score_precision, mesh=mesh)
         base = f"{a.output_dir}/{a.base_name}"
         if a.kmers_scores:
             for j, name in enumerate(res.names):

@@ -135,14 +135,15 @@ def init_buffered_state(n_phenotypes: int, k: int, buf_cap: int
 
 
 def _scores_and_bmax(packed, popcnt, y_padded, y_sum, n_used, min_count,
-                     kernel, block):
+                     kernel, block, precision="default"):
     """-> (scores (P,R), strided block maxima (P,R/block), tile_rows)."""
     if kernel == "pallas":
         from .score import score_batch_t_pallas_bmax
         tile_rows = 2048
         sc, bmax = score_batch_t_pallas_bmax(
             packed, popcnt, y_padded, y_sum, n_used=n_used,
-            min_count=min_count, tile_rows=tile_rows, block=block)
+            min_count=min_count, tile_rows=tile_rows, block=block,
+            precision=precision)
         return sc, bmax, tile_rows
     sc = _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count)
     p, r = sc.shape
@@ -230,7 +231,7 @@ def scan_step_buffered(state: BufferedTopKState, packed, popcnt,
 
 
 def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
-             kernel, tile_rows, pre_transposed=False):
+             kernel, tile_rows, pre_transposed=False, precision="default"):
     """-> per-tile top-3 (tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3,
     cnt), each (P, T); targ* int32 lanes within the tile, n2/n3 uniqueness
     guards for the sum-encoded targ2/targ3, cnt int32 lanes > thresh.
@@ -241,7 +242,7 @@ def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
         return score_batch_t_pallas_tilemax.__wrapped__(
             packed, popcnt, y_padded, y_sum, thresh,
             n_used=n_used, min_count=min_count, tile_rows=tile_rows,
-            pre_transposed=pre_transposed)
+            pre_transposed=pre_transposed, precision=precision)
     if pre_transposed:
         packed = packed.T
     sc = _scores_t_xla(packed, popcnt, y_padded, y_sum, n_used, min_count)
@@ -342,13 +343,15 @@ def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
 @functools.partial(jax.jit,
                    static_argnames=("n_used", "min_count", "kernel", "block",
                                     "cand_c", "cand_k", "tile_rows",
-                                    "cand_q", "pre_transposed"))
+                                    "cand_q", "pre_transposed",
+                                    "precision"))
 def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       row_lo, row_hi, y_padded, y_sum, *, n_used: int,
                       min_count: int, kernel: str = "xla", block: int = 16,
                       cand_c: int = 128, cand_k: int = 2048,
                       tile_rows: int = 2048, cand_q: int | None = None,
-                      pre_transposed: bool = False) -> BufferedTopKState:
+                      pre_transposed: bool = False,
+                      precision: str = "default") -> BufferedTopKState:
     """One streamed batch -> buffered top-k state via the compact tile-max
     path (see block comment above). Args as scan_step_buffered, plus
     tile_rows (must divide the padded batch rows). The buffer capacity must
@@ -358,6 +361,12 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     pre_transposed: `packed` is already (W32, R) k-mers-in-lanes (sources
     that can emit that layout skip the device relayout — see
     score_batch_t_pallas_tilemax).
+
+    precision: matmul precision of the score GEMM on TPU. "default" uses
+    the platform default (bf16 products, f32 accumulation — measured ~2e-3
+    relative score precision at N=1008; selection wobble only at the
+    top-k boundary, and every candidate is exactly re-scored by the LMM
+    stage). "highest" is f32-faithful (~5e-6) at ~3-6x the GEMM cost.
 
     cand_q: optional NARROW append width. The 3c per-batch candidates come
     out sorted descending; whenever the (q+1)-th is already <= thresh, only
@@ -379,7 +388,7 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
          else None)
     tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
         packed, popcnt, y_padded, y_sum, state.thresh,
-        n_used, min_count, kernel, tile_rows, pre_transposed)
+        n_used, min_count, kernel, tile_rows, pre_transposed, precision)
     if c < n_tiles:
         v_all, ti = jax.lax.top_k(tmax, c + 1)
         v1, ti_c = v_all[:, :c], ti[:, :c]
@@ -439,7 +448,8 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
         # hot batch: recompute full scores and run the exact wide merge
         pk = packed.T if pre_transposed else packed
         sc, bmax, tr = _scores_and_bmax(pk, popcnt, y_padded, y_sum,
-                                        n_used, min_count, kernel, block)
+                                        n_used, min_count, kernel, block,
+                                        precision)
         return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
                             min(cand_k, sc.shape[1]), block)
 

@@ -78,13 +78,14 @@ def score_batch(packed, popcnt, y_padded, y_sum, *, n_used: int, min_count: int)
 # top-k consumes, so the scan step does zero relayouts.
 
 def _score_t_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, out_ref,
-                    *, n_used: int, min_count: int):
+                    *, n_used: int, min_count: int, prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
     bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
     # Mosaic has no uint32->f32 cast; hop through int32
     g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
+                   precision=prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
@@ -95,9 +96,11 @@ def _score_t_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, out_ref,
     out_ref[...] = jnp.where(n1 > 0, score, -jnp.inf)     # popcnt==0 = padding
 
 
-@functools.partial(jax.jit, static_argnames=("n_used", "min_count", "tile_rows"))
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count",
+                                             "tile_rows", "precision"))
 def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
-                         n_used: int, min_count: int, tile_rows: int = 2048):
+                         n_used: int, min_count: int, tile_rows: int = 2048,
+                         precision: str = "default"):
     """Fused kernel -> scores transposed (P, R); padding rows score -inf.
 
     packed: (R, W32) uint32 (transposed on device), popcnt (R,) f32,
@@ -113,7 +116,8 @@ def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
     pop2 = popcnt[None, :]                                # (1, R)
     grid = (rows // tile_rows,)
     out = pl.pallas_call(
-        functools.partial(_score_t_kernel, n_used=n_used, min_count=min_count),
+        functools.partial(_score_t_kernel, n_used=n_used, min_count=min_count,
+                          prec=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -135,12 +139,13 @@ def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
 
 def _score_t_bmax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref,
                          out_ref, bmax_ref, *, n_used: int, min_count: int,
-                         block: int):
+                         block: int, prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
     bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
     g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
+                   precision=prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
@@ -162,10 +167,12 @@ def _score_t_bmax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_used", "min_count",
-                                             "tile_rows", "block"))
+                                             "tile_rows", "block",
+                                             "precision"))
 def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
                               n_used: int, min_count: int,
-                              tile_rows: int = 2048, block: int = 16):
+                              tile_rows: int = 2048, block: int = 16,
+                              precision: str = "default"):
     """Like score_batch_t_pallas, but also emits per-`block`-lane score maxima
     (P, R/block) from VMEM — the level-0 reduction of the blocked top-k fused
     into the score kernel, so extraction never re-reads the (P, R) scores.
@@ -184,7 +191,7 @@ def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
     grid = (rows // tile_rows,)
     sc, bmax = pl.pallas_call(
         functools.partial(_score_t_bmax_kernel, n_used=n_used,
-                          min_count=min_count, block=block),
+                          min_count=min_count, block=block, prec=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -215,12 +222,14 @@ def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
 def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
                             tmax_ref, targ_ref, tmax2_ref, targ2_ref,
                             tmax3_ref, targ3_ref, n2_ref, n3_ref,
-                            cnt_ref, *, n_used: int, min_count: int):
+                            cnt_ref, *, n_used: int, min_count: int,
+                            prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
     bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
     g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32)
+    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
+                   precision=prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
@@ -279,11 +288,13 @@ def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_used", "min_count",
-                                             "tile_rows", "pre_transposed"))
+                                             "tile_rows", "pre_transposed",
+                                             "precision"))
 def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
                                  n_used: int, min_count: int,
                                  tile_rows: int = 2048,
-                                 pre_transposed: bool = False):
+                                 pre_transposed: bool = False,
+                                 precision: str = "default"):
     """Compact scan kernel: scores stay in VMEM; only nine (P, n_tiles)
     planes reach HBM — the per-tile TOP-3 score values with their lanes,
     uniqueness guards n2/n3, and the count of lanes scoring > thresh[p].
@@ -324,7 +335,7 @@ def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
                   jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
     outs = pl.pallas_call(
         functools.partial(_score_t_tilemax_kernel, n_used=n_used,
-                          min_count=min_count),
+                          min_count=min_count, prec=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),

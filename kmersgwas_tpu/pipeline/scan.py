@@ -138,6 +138,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               count_patterns: bool = False, use_pallas="auto",
               checkpoint_path: str | None = None, checkpoint_every: int = 20,
               dtable_cache: str | None = None, mesh=None,
+              score_precision: str = "default",
               progress=None) -> ScanResult:
     """Scan the full table; returns per-phenotype top-k with k-mer codes.
 
@@ -146,6 +147,9 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     dtable_cache: path to a device-native pre-packed table (core/dtable.py);
     built on first use, then batches stream as raw memmap slices with no
     host-side squeeze/pack work.
+    score_precision: "default" (platform matmul precision: bf16 products,
+    ~2e-3 relative scores — candidates are exactly re-scored by the LMM) or
+    "highest" (f32-faithful, slower). TPU kernels only.
     mesh: optional jax.sharding.Mesh. With >1 device the PRODUCTION step
     (fused kernel + buffered deferred merge) runs per device shard under
     shard_map, batches sharded over the k-mer axis, and the exact global
@@ -200,7 +204,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
             mesh, p, k_eff, buf_cap=cand_c * 24, seed_state=resumed_plain)
         step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
+            precision=score_precision)
         batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
         rep = NamedSharding(mesh, _P())
         yp = jax.device_put(np.asarray(yp), rep)
@@ -262,7 +267,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         return ss.scan_step_compact(
             st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
             n_used=n_used, min_count=min_count, kernel=kernel,
-            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
+            cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
+            precision=score_precision)
 
     def plain_state(st):
         if use_sharded:
