@@ -158,3 +158,73 @@ def test_two_process_product_driver_cli(tmp_path):
                                    rtol=1e-4)
     n_tested = int(open(tmp_path / "pheno.tested_kmers").read())
     assert n_tested == ref.n_tested
+
+
+@pytest.mark.slow
+def test_three_process_skewed_spans(tmp_path):
+    """Uneven k-mer ranges: most rows land in one host's span, so the other
+    processes exhaust early and must keep lockstep with empty padded batches
+    until the slowest host finishes (multihost.run_distributed_scan)."""
+    from kmersgwas_tpu.core import formats
+
+    rng = np.random.default_rng(55)
+    n, p, k, kmer_len = 20, 2, 15, 15
+    names = [f"acc{i}" for i in range(n)]
+    space = 1 << (2 * kmer_len)
+    # 500 k-mers crammed into the lowest eighth of the space + 40 spread out
+    low = rng.choice(space // 8, size=500, replace=False)
+    high = space // 8 + rng.choice(space - space // 8, size=40, replace=False)
+    kmers = np.sort(np.concatenate([low, high])).astype(np.uint64)
+    rows = len(kmers)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "skew")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, p))
+    pheno_path = str(tmp_path / "t.pheno")
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=["a", "b"], accessions=names, values=y))
+
+    port = _free_port()
+    import kmersgwas_tpu
+    env = {k_: v for k_, v in os.environ.items()
+           if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        kmersgwas_tpu.__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    args = ["-p", pheno_path, "-t", base, "-k", str(kmer_len),
+            "-o", str(tmp_path), "-b", str(k), "--maf", "0.05", "--mac", "2",
+            "--batch_size", "96",
+            "--coordinator", f"127.0.0.1:{port}", "--num_processes", "3"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "associate-mp",
+         *args, "--process_id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1, 2)]
+    outs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        outs.append(out.decode(errors="replace"))
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out[-3000:]
+
+    from kmersgwas_tpu.pipeline import scan as scan_mod
+    ref = scan_mod.associate(base, names, y, ["a", "b"], kmer_len=kmer_len,
+                             n_top=k, maf=0.05, mac=2, batch_size=96)
+    from kmersgwas_tpu.core import formats as fm
+    for j in range(p):
+        got_k, got_s = fm.read_best_kmers_scores(
+            str(tmp_path / f"pheno.{j}.best_kmers.scores"))
+        np.testing.assert_array_equal(np.sort(got_k), np.sort(ref.kmers[j]))
+        np.testing.assert_allclose(np.sort(got_s), np.sort(ref.scores[j]),
+                                   rtol=1e-4)
+    assert int(open(tmp_path / "pheno.tested_kmers").read()) == ref.n_tested
