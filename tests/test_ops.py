@@ -483,3 +483,34 @@ def test_score_tilemax_pre_transposed_equivalent():
             tile_rows=64, pre_transposed=True)
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_score_precision_plumbing_interpret():
+    """precision="highest" must plumb through the tilemax kernel and the
+    compact step without changing interpret-mode results (interpret mode
+    runs f32 either way; on hardware it selects the multi-pass MXU dot)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(29)
+    bits, packed, y, n_pad = rand_problem(rng, r=128, n=60, p=3)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    th = jnp.full((3,), 1.0, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        a = score.score_batch_t_pallas_tilemax(
+            jnp.asarray(packed), pc, yp, ysum, th, n_used=n, min_count=2,
+            tile_rows=64, precision="highest")
+        b = score.score_batch_t_pallas_tilemax(
+            jnp.asarray(packed), pc, yp, ysum, th, n_used=n, min_count=2,
+            tile_rows=64, precision="default")
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-5)
+    # XLA-kernel compact step accepts the arg (no-op there)
+    st = scanstep.init_buffered_state(3, 8, buf_cap=24)
+    lo, hi = topk.encode_rows(np.arange(128))
+    st = scanstep.scan_step_compact(
+        st, jnp.asarray(packed), pc, jnp.asarray(lo), jnp.asarray(hi),
+        yp, ysum, n_used=n, min_count=2, kernel="xla", cand_c=2, cand_k=6,
+        tile_rows=64, precision="highest")
+    assert np.isfinite(float(np.asarray(st.thresh)[0]))
