@@ -539,6 +539,30 @@ def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
             "dfs": dfs}
 
 
+def mle_noX(y, K, Z=None, llim: float = -10.0, ulim: float = 10.0,
+            ngrids: int = 100, n_bisect: int = 60) -> REMLEResult:
+    """emma.MLE.noX (emma.R:291-390): full-ML variance components with NO
+    fixed effects — the likelihood uses the unrestricted rotation
+    (xi, U) = eigh(K) with etas = U'y directly."""
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    y = jnp.asarray(y, dt)
+    K_eff = _apply_Z(K, Z, dt)
+    n = y.shape[0]
+    xi, U = jnp.linalg.eigh(K_eff)
+    etasq = (U.T @ y) ** 2
+
+    def ll_fn(logdelta):
+        delta = jnp.exp(logdelta)
+        return 0.5 * (n * (jnp.log(n / (2 * jnp.pi)) - 1.0
+                           - jnp.log(jnp.sum(etasq / (xi + delta))))
+                      - jnp.sum(jnp.log(xi + delta)))
+
+    best, ll = _grid_opt_rot(ll_fn, llim, ulim, 1e-10, ngrids, n_bisect)
+    delta = jnp.exp(best)
+    vg = jnp.sum(etasq / (xi + delta)) / n
+    return REMLEResult(reml_ll=ll, delta=delta, vg=vg, ve=vg * delta)
+
+
 def emma_test(ys, xs, K, Z=None, use_MLE: bool = False,
               use_LRT: bool = False, ngrids: int = 100,
               llim: float = -10.0, ulim: float = 10.0):

@@ -399,3 +399,48 @@ def test_emma_Z_incidence_matrix_equals_expanded_kinship():
     tk = emma.emma_REML_t(y, xs, Kn)
     np.testing.assert_allclose(np.asarray(tz["stats"]),
                                np.asarray(tk["stats"]), rtol=1e-8)
+
+
+def test_mle_noX_matches_numpy_transcription():
+    """emma.MLE.noX (emma.R:291-390): grid+brentq NumPy transcription of
+    the no-fixed-effects ML likelihood as oracle."""
+    from scipy.optimize import brentq
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(31)
+    n = 40
+    G0 = rng.normal(size=(n, 3 * n))
+    K = G0 @ G0.T / (3 * n)
+    K = K / np.diag(K).mean()
+    y = rng.normal(size=n)
+    got = emma.mle_noX(y, K)
+
+    xi, U = np.linalg.eigh(K)
+    etasq = (U.T @ y) ** 2
+
+    def LL(g):
+        d = np.exp(g)
+        return 0.5 * (n * (np.log(n / (2 * np.pi)) - 1
+                           - np.log(np.sum(etasq / (xi + d))))
+                      - np.sum(np.log(xi + d)))
+
+    def dLL(g):
+        d = np.exp(g)
+        ld = xi + d
+        return 0.5 * d * (n * np.sum(etasq / ld**2) / np.sum(etasq / ld)
+                          - np.sum(1.0 / ld))
+
+    grid = np.linspace(-10, 10, 101)
+    dll = np.array([dLL(g) for g in grid])
+    cands = []
+    if dll[0] < 1e-10:
+        cands.append(-10.0)
+    if dll[-1] > -1e-10:
+        cands.append(10.0)
+    for i in range(100):
+        if dll[i] * dll[i + 1] < -1e-20 and dll[i] > 0 and dll[i + 1] < 0:
+            cands.append(brentq(dLL, grid[i], grid[i + 1]))
+    best = cands[int(np.argmax([LL(c) for c in cands]))]
+    delta = np.exp(best)
+    vg = np.sum(etasq / (xi + delta)) / n
+    assert np.isclose(float(got.delta), delta, rtol=1e-3)
+    assert np.isclose(float(got.vg), vg, rtol=1e-3)
