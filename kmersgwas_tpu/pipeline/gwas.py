@@ -232,6 +232,9 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
             first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh)
     (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
+    for sub, v in result.timings.items():
+        stage_seconds[f"scan.{sub}"] = v
+        log(f"[stage] scan.{sub}: {v:.2f}s")
     if result.n_patterns is not None:
         (kmers_dir / "pheno.pattern_counter").write_text(f"{result.n_patterns}\n")
 

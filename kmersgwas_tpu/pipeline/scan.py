@@ -56,6 +56,9 @@ class ScanResult:
     n_tested: int                   # MAC-passing k-mers scored
     n_patterns: int | None = None   # unique presence/absence patterns
     pa_rows: dict = field(default_factory=dict)  # row -> packed uint64 PA (used cols)
+    timings: dict = field(default_factory=dict)  # sub-stage seconds: stream
+                                    # (feed+dispatch loop), finalize (state
+                                    # fetch + merge), fetch (winner rows)
 
 
 def effective_min_count(n_accessions: int, maf: float, mac: int) -> int:
@@ -277,7 +280,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                 shard_mod.finalize_sharded_buffered(st, mesh), p, k_eff)
         return ss.flush_buffered(st)
 
+    import time as _time
+    timings = {}
     timer = StageTimer("scan", "kmers", quiet=progress is not None)
+    t_stream = _time.perf_counter()
     batch_i = 0
     for r, packed, popcnt, lo, hi, last_row, pats in _prefetch(
             map(prepare, batches), depth=2):
@@ -296,17 +302,22 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         if progress is not None:
             progress(r)
     timer.done()
+    timings["stream"] = _time.perf_counter() - t_stream
 
+    t_fin = _time.perf_counter()
     if use_sharded:
         from ..parallel import sharding as shard_mod
         per_pheno = shard_mod.finalize_sharded_buffered(state, mesh)
     else:
         per_pheno = topk_ops.finalize(ss.flush_buffered(state))
+    timings["finalize"] = _time.perf_counter() - t_fin
 
     # resolve winner rows -> k-mer codes + packed PA (random access, pass 2)
+    t_fetch = _time.perf_counter()
     all_rows = np.unique(np.concatenate([rw for _, rw in per_pheno])
                          ) if per_pheno and any(len(rw) for _, rw in per_pheno) else np.empty(0, np.int64)
     kmer_of_row, pa_of_row = fetch_rows(reader, all_rows)
+    timings["fetch"] = _time.perf_counter() - t_fetch
 
     names = list(pheno_names)
     scores_out, rows_out, kmers_out = [], [], []
@@ -320,7 +331,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     return ScanResult(names=names, scores=scores_out, rows=rows_out,
                       kmers=kmers_out, n_tested=n_tested,
                       n_patterns=(patterns.count if patterns else None),
-                      pa_rows=pa_of_row)
+                      pa_rows=pa_of_row, timings=timings)
 
 
 def fetch_rows(reader: KmersTableReader, rows: np.ndarray):
