@@ -106,6 +106,7 @@ def streaming(n_rows: int = 8_000_000, batch_size: int = 1_000_000,
                 "memmap->prefetch->device_put->step)",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
         "host_feed_kmers_per_sec": round(host_feed, 1),
+        "sub_stage_seconds": {k: round(v, 2) for k, v in res.timings.items()},
     }))
 
 

@@ -75,8 +75,9 @@ class GWASConfig:
                                         # PLINK artifacts + gzip assoc.txt
                                         # (kmers_gwas.py:259-271);
                                         # --dont_remove_intermediates disables
-    n_devices: int | None = None        # >1: shard the scan over a k-mer-axis
-                                        # device mesh (parallel/sharding.py)
+    n_devices: int | None = None        # >1: shard the scan AND kinship over
+                                        # a k-mer-axis device mesh
+                                        # (parallel/sharding.py)
 
 
 @dataclass
@@ -147,6 +148,12 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
     accs, vals = average_phenotypes(pheno.accessions, pheno.values[:, 0])
     table_names = formats.read_names(cfg.kmers_table)
 
+    mesh = None
+    if cfg.n_devices and cfg.n_devices > 1:
+        import jax
+        from ..parallel import sharding as shard_mod
+        mesh = shard_mod.make_mesh(jax.devices()[:cfg.n_devices])
+
     # 2. kinship + intersection. --kinship_snps selects the SNP-matrix
     # kinship over the k-mers one (kmers_gwas.py:80-87); accession order then
     # follows the SNP .fam, like the reference's snps_fam handling (:68-77)
@@ -173,7 +180,7 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             # filter matches (kinship_from_table validates and falls back)
             K_full = kinship_mod.kinship_from_table(
                 cfg.kmers_table, maf=cfg.kinship_maf,
-                dtable_cache=cfg.dtable_cache)
+                dtable_cache=cfg.dtable_cache, mesh=mesh)
         kin_names = table_names
         kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
 

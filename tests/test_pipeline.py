@@ -379,3 +379,20 @@ def test_kinship_dtable_route_matches_raw(tmp_path):
                                 dtable_cache=dtc, checkpoint_path=ck,
                                 checkpoint_every=2)
     np.testing.assert_array_equal(K_c, K_raw)
+
+
+def test_full_gwas_n_devices_matches_single(tmp_path):
+    """run_gwas(n_devices=2): kinship and scan both run on the mesh; the
+    thresholds and passing set must match the single-device run exactly."""
+    pop = build_population(tmp_path, n_samples=40, n_kmers=400, seed=6,
+                           causal_effect=3.0)
+    kw = dict(pheno_path=str(pop["pheno_path"]), kmers_table=pop["base"],
+              kmer_len=K, n_kmers=20, n_permutations=10, maf=0.05, mac=2,
+              batch_size=200, min_data_points=10, lmm_grid=32, lmm_refine=20)
+    r1 = run_gwas(GWASConfig(outdir=str(tmp_path / "o1"), **kw))
+    (tmp_path / "pop.kinship").unlink()          # force kinship recompute
+    r2 = run_gwas(GWASConfig(outdir=str(tmp_path / "o2"), n_devices=2, **kw))
+    assert r1.thresholds == r2.thresholds
+    assert sorted(s for s, _ in r1.pass_5per) == sorted(
+        s for s, _ in r2.pass_5per)
+    assert r2.stage_seconds.get("kinship") is not None
