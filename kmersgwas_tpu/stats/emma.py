@@ -358,24 +358,25 @@ def emma_kinship(snps, method: str = "additive", use: str = "all"):
 
 
 @functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
-def _ml_lrt_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
+def _ml_lrt_complete(ys, xs, K, X0, llim, ulim, ngrids: int, n_bisect: int):
     """Vectorized core of emma.ML.LRT for complete data: one eigh(K), then
-    alt-model MLEs vmapped over (variants, phenotypes). Returns
+    alt-model MLEs vmapped over (variants, phenotypes). X0 (n, q0) null
+    covariates (the intercept by default upstream). Returns
     (ml1 (m,g), vg (m,g), ve (m,g), ml0 (g,))."""
     esp = 1e-10
     xi, U = jnp.linalg.eigh(K)                       # order irrelevant here
     yts = ys @ U                                     # (g, n)
     xts = xs @ U                                     # (m, n)
-    onet = jnp.sum(U, axis=0)                        # U' 1
+    X0t = U.T @ X0                                   # (n, q0)
 
     def null_one(yt):
-        r = _mle_rot(xi, onet[:, None], yt, llim, ulim, esp, ngrids, n_bisect)
+        r = _mle_rot(xi, X0t, yt, llim, ulim, esp, ngrids, n_bisect)
         return r.reml_ll
 
     ml0 = jax.vmap(null_one)(yts)                    # (g,)
 
     def alt_one(xt, yt):
-        Xt = jnp.stack([onet, xt], axis=1)
+        Xt = jnp.concatenate([X0t, xt[:, None]], axis=1)
         r = _mle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
         return r.reml_ll, r.vg, r.ve
 
@@ -384,8 +385,8 @@ def _ml_lrt_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
     return ml1, vg, ve, ml0
 
 
-def emma_ML_LRT(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
-                ulim: float = 10.0, n_bisect: int = 60):
+def emma_ML_LRT(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
+                llim: float = -10.0, ulim: float = 10.0, n_bisect: int = 60):
     """emma.ML.LRT: per-variant ML likelihood-ratio test (emma.R:495-741).
 
     ys (g, n) or (n,) phenotypes, xs (m, n) variants, K (n, n). Returns a
@@ -403,17 +404,20 @@ def emma_ML_LRT(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
     xs = jnp.atleast_2d(jnp.asarray(xs, dt))
     K = _apply_Z(K, Z, dt)
     m, g = xs.shape[0], ys.shape[0]
+    n_obs = ys.shape[1]
+    X0 = (jnp.ones((n_obs, 1), dt) if X0 is None
+          else jnp.asarray(X0, dt))
 
     ys_na = _np.isnan(_np.asarray(ys))
     xs_na = _np.isnan(_np.asarray(xs))
 
-    def run_rows(ys_sub, xs_sub, K_sub):
-        ml1, vg, ve, ml0 = _ml_lrt_complete(ys_sub, xs_sub, K_sub,
+    def run_rows(ys_sub, xs_sub, K_sub, X0_sub):
+        ml1, vg, ve, ml0 = _ml_lrt_complete(ys_sub, xs_sub, K_sub, X0_sub,
                                             llim, ulim, ngrids, n_bisect)
         return ml1, vg, ve, jnp.broadcast_to(ml0[None, :], ml1.shape)
 
     if not ys_na.any() and not xs_na.any():
-        ml1, vg, ve, ml0 = run_rows(ys, xs, K)
+        ml1, vg, ve, ml0 = run_rows(ys, xs, K, X0)
     else:
         # per-phenotype-row subsets (g is small; m stays vectorized)
         cols = []
@@ -421,17 +425,18 @@ def emma_ML_LRT(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
             vids = ~ys_na[j]
             yj = ys[j, vids][None, :]
             Kj = K[_np.ix_(vids, vids)]
+            X0j = X0[vids]
             clean = ~xs_na[:, vids].any(axis=1)
             o_ml1 = _np.full((m,), _np.nan)
             o_vg, o_ve, o_ml0 = o_ml1.copy(), o_ml1.copy(), o_ml1.copy()
             if clean.any():
-                r = run_rows(yj, xs[_np.flatnonzero(clean)][:, vids], Kj)
+                r = run_rows(yj, xs[_np.flatnonzero(clean)][:, vids], Kj, X0j)
                 for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
                     o[clean] = _np.asarray(v)[:, 0]
             for i in _np.flatnonzero(~clean):         # NA variants: subset each
                 vv = vids & ~xs_na[i]
                 r = run_rows(ys[j, vv][None, :], xs[i, vv][None, :],
-                             K[_np.ix_(vv, vv)])
+                             K[_np.ix_(vv, vv)], X0[vv])
                 o_ml1[i], o_vg[i], o_ve[i], o_ml0[i] = (
                     float(_np.asarray(v)[0, 0]) for v in r)
             cols.append((o_ml1, o_vg, o_ve, o_ml0))
@@ -457,31 +462,31 @@ def _t_sf(t, df):
 
 
 @functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
-def _reml_t_complete(ys, xs, K, llim, ulim, ngrids: int, n_bisect: int):
+def _reml_t_complete(ys, xs, K, X0, llim, ulim, ngrids: int, n_bisect: int):
     """Vectorized core of emma.REML.t for complete data. Per (variant,
-    phenotype): REMLE under X = [1, x] in the K-eigenbasis, then the Wald
-    stat = beta_x / sqrt((X'Hinv X)^-1[1,1] vg) — identical to rotating by
-    U = Q diag(1/sqrt(xi+delta)) (emma.R:1089-1101, 1160-1164) since
+    phenotype): REMLE under X = [X0, x] in the K-eigenbasis, then the Wald
+    stat = beta_x / sqrt((X'Hinv X)^-1[-1,-1] vg) — identical to rotating
+    by U = Q diag(1/sqrt(xi+delta)) (emma.R:1089-1101, 1160-1164) since
     Xt'Xt there equals X'Hinv X here. Returns (stat, vg, ve, reml), (m,g)."""
     esp = 1e-10
     xi, U = jnp.linalg.eigh(K)
     yts = ys @ U
     xts = xs @ U
-    onet = jnp.sum(U, axis=0)
+    X0t = U.T @ X0
 
     def one(xt, yt):
-        Xt = jnp.stack([onet, xt], axis=1)
+        Xt = jnp.concatenate([X0t, xt[:, None]], axis=1)
         res = _remle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
         _, G, beta, _ = _rot_stats(jnp.log(res.delta), xi, Xt, yt)
-        iXX11 = jnp.linalg.inv(G)[1, 1]
-        stat = beta[1] / jnp.sqrt(iXX11 * res.vg)
+        iXXqq = jnp.linalg.inv(G)[-1, -1]
+        stat = beta[-1] / jnp.sqrt(iXXqq * res.vg)
         return stat, res.vg, res.ve, res.reml_ll
 
     return jax.vmap(lambda xt: jax.vmap(lambda yt: one(xt, yt))(yts))(xts)
 
 
-def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
-                ulim: float = 10.0, n_bisect: int = 60):
+def emma_REML_t(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
+                llim: float = -10.0, ulim: float = 10.0, n_bisect: int = 60):
     """emma.REML.t: per-variant REML Wald t-test (emma.R:1013-1274).
 
     stat = beta / sqrt(iXX[q,q] vg); p = 2 P(T_{n-2} > |stat|) (emma.R:1263).
@@ -494,13 +499,14 @@ def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
     K = _apply_Z(K, Z, dt)
     m, g = xs.shape[0], ys.shape[0]
     n = ys.shape[1]
-    q1 = 2
+    X0 = (jnp.ones((n, 1), dt) if X0 is None else jnp.asarray(X0, dt))
+    q1 = X0.shape[1] + 1
 
     ys_na = _np.isnan(_np.asarray(ys))
     xs_na = _np.isnan(_np.asarray(xs))
 
     if not ys_na.any() and not xs_na.any():
-        stat, vg, ve, reml = _reml_t_complete(ys, xs, K, llim, ulim,
+        stat, vg, ve, reml = _reml_t_complete(ys, xs, K, X0, llim, ulim,
                                               ngrids, n_bisect)
         dfs = jnp.full((m, g), n - q1, dt)
     else:
@@ -510,17 +516,18 @@ def emma_REML_t(ys, xs, K, Z=None, ngrids: int = 100, llim: float = -10.0,
             vids = ~ys_na[j]
             yj = ys[j, vids][None, :]
             Kj = K[_np.ix_(vids, vids)]
+            X0j = X0[vids]
             clean = ~xs_na[:, vids].any(axis=1)
             if clean.any():
                 r = _reml_t_complete(yj, xs[_np.flatnonzero(clean)][:, vids],
-                                     Kj, llim, ulim, ngrids, n_bisect)
+                                     Kj, X0j, llim, ulim, ngrids, n_bisect)
                 for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
                     o[clean, j] = _np.asarray(v)[:, 0]
                 o_dfs[clean, j] = int(vids.sum()) - q1
             for i in _np.flatnonzero(~clean):
                 vv = vids & ~xs_na[i]
                 r = _reml_t_complete(ys[j, vv][None, :], xs[i, vv][None, :],
-                                     K[_np.ix_(vv, vv)], llim, ulim,
+                                     K[_np.ix_(vv, vv)], X0[vv], llim, ulim,
                                      ngrids, n_bisect)
                 o_stat[i, j], o_vg[i, j], o_ve[i, j], o_reml[i, j] = (
                     float(_np.asarray(v)[0, 0]) for v in r)
@@ -563,7 +570,7 @@ def mle_noX(y, K, Z=None, llim: float = -10.0, ulim: float = 10.0,
     return REMLEResult(reml_ll=ll, delta=delta, vg=vg, ve=vg * delta)
 
 
-def emma_test(ys, xs, K, Z=None, use_MLE: bool = False,
+def emma_test(ys, xs, K, Z=None, X0=None, use_MLE: bool = False,
               use_LRT: bool = False, ngrids: int = 100,
               llim: float = -10.0, ulim: float = 10.0):
     """emma.test (emma.R:743-1010): dispatch wrapper over the per-variant
@@ -574,9 +581,10 @@ def emma_test(ys, xs, K, Z=None, use_MLE: bool = False,
     (`stopifnot(Z == NULL)` errors on NULL itself, emma.R:766), so they are
     unrunnable as shipped; here Z is supported via K_eff = Z K Z'."""
     if use_MLE or use_LRT:
-        return emma_ML_LRT(ys, xs, K, Z=Z, ngrids=ngrids, llim=llim,
+        return emma_ML_LRT(ys, xs, K, Z=Z, X0=X0, ngrids=ngrids, llim=llim,
                            ulim=ulim)
-    return emma_REML_t(ys, xs, K, Z=Z, ngrids=ngrids, llim=llim, ulim=ulim)
+    return emma_REML_t(ys, xs, K, Z=Z, X0=X0, ngrids=ngrids, llim=llim,
+                       ulim=ulim)
 
 
 def is_positive_semi_definite(K, tol: float = 1e-8) -> bool:

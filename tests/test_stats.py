@@ -444,3 +444,45 @@ def test_mle_noX_matches_numpy_transcription():
     vg = np.sum(etasq / (xi + delta)) / n
     assert np.isclose(float(got.delta), delta, rtol=1e-3)
     assert np.isclose(float(got.vg), vg, rtol=1e-3)
+
+
+def test_emma_X0_custom_null_covariates():
+    """X0 (emma.R:495,1013 signatures): the default reproduces X0=[1]
+    exactly, and a covariate-augmented null changes the LRT in the
+    direction a manual eigen_R-route computation predicts."""
+    import jax.numpy as jnp
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(41)
+    n, m = 36, 4
+    G0 = rng.normal(size=(n, 3 * n))
+    K = G0 @ G0.T / (3 * n)
+    K = K / np.diag(K).mean()
+    cov = rng.normal(size=n)
+    y = 0.8 * cov + rng.normal(size=n)
+    xs = (rng.random((m, n)) < 0.4).astype(float)
+
+    base = emma.emma_ML_LRT(y, xs, K)
+    same = emma.emma_ML_LRT(y, xs, K, X0=np.ones((n, 1)))
+    np.testing.assert_allclose(np.asarray(base["ps"]), np.asarray(same["ps"]),
+                               rtol=1e-12)
+
+    X0 = np.column_stack([np.ones(n), cov])
+    out = emma.emma_ML_LRT(y, xs, K, X0=X0)
+    # oracle: per-variant eigen_R route with the augmented design
+    xi = jnp.linalg.eigvalsh(jnp.asarray(K))[::-1]
+    lam0, vec0 = emma.eigen_R(jnp.asarray(K), jnp.asarray(X0))
+    ml0 = emma.mle_from_eigen(vec0.T @ jnp.asarray(y), lam0, xi).reml_ll
+    for i in range(m):
+        X = jnp.asarray(np.column_stack([X0, xs[i]]))
+        lam1, vec1 = emma.eigen_R(jnp.asarray(K), X)
+        ml1 = emma.mle_from_eigen(vec1.T @ jnp.asarray(y), lam1, xi).reml_ll
+        assert np.isclose(float(out["ML1s"][i, 0]), float(ml1),
+                          rtol=1e-8, atol=1e-8)
+    assert np.isclose(float(out["ML0s"][0, 0]), float(ml0), rtol=1e-8)
+
+    t_base = emma.emma_REML_t(y, xs, K)
+    t_same = emma.emma_REML_t(y, xs, K, X0=np.ones((n, 1)))
+    np.testing.assert_allclose(np.asarray(t_base["stats"]),
+                               np.asarray(t_same["stats"]), rtol=1e-12)
+    t_cov = emma.emma_REML_t(y, xs, K, X0=X0)
+    assert np.all(np.asarray(t_cov["dfs"]) == n - 3)
