@@ -31,6 +31,7 @@ NULL_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _BASE_TO_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
 _CODE_TO_BASE = np.array(list("ACGT"))
+_CODE_TO_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 _M32 = np.uint64(0xFFFFFFFF00000000)
 _L32 = np.uint64(0x00000000FFFFFFFF)
@@ -62,8 +63,10 @@ def decode_kmers(codes: np.ndarray, k: int) -> list:
     codes = np.asarray(codes, dtype=np.uint64)
     shifts = np.arange(2 * (k - 1), -2, -2, dtype=np.uint64)
     sym = (codes[:, None] >> shifts[None, :]) & np.uint64(3)
-    chars = _CODE_TO_BASE[sym.astype(np.int64)]
-    return ["".join(row) for row in chars]
+    # one bulk byte-buffer decode instead of a Python join per row
+    ascii_bytes = _CODE_TO_ASCII[sym.astype(np.int64)]
+    flat = ascii_bytes.tobytes().decode("ascii")
+    return [flat[i * k:(i + 1) * k] for i in range(len(codes))]
 
 
 def reverse_complement(x: np.ndarray, k: int) -> np.ndarray:

@@ -359,7 +359,9 @@ def fetch_rows(reader: KmersTableReader, rows: np.ndarray):
 def export_plink(result: ScanResult, reader_n_used: int, kmer_len: int,
                  base_names: list) -> None:
     """Write per-phenotype bed/bim winner exports, reference-compatible:
-    rows in table order, names `<kmer>_<rank>` with rank 1 = best."""
+    rows in table order, names `<kmer>_<rank>` with rank 1 = best.
+    Vectorized per column: one decode + one stacked bed write (the
+    per-variant Python loop cost ~80 s at the default 101 x 10001 shape)."""
     for j, base in enumerate(base_names):
         rows = result.rows[j]
         scores = result.scores[j]
@@ -368,9 +370,10 @@ def export_plink(result: ScanResult, reader_n_used: int, kmer_len: int,
         rank[np.argsort(-scores, kind="stable")] = np.arange(1, len(rows) + 1)
         order = np.argsort(rows, kind="stable")       # table-row output order
         with formats.BedBimWriter(base) as w:
-            for idx in order:
-                r = int(rows[idx])
-                kstr = codec.decode_kmers(np.array([result.kmers[j][idx]],
-                                                   dtype=np.uint64), kmer_len)[0]
-                w.write_variants([f"{kstr}_{rank[idx]}"],
-                                 result.pa_rows[r][None, :], reader_n_used)
+            if len(order) == 0:
+                continue
+            kstrs = codec.decode_kmers(
+                np.asarray(result.kmers[j], np.uint64)[order], kmer_len)
+            names = [f"{ks}_{rank[idx]}" for ks, idx in zip(kstrs, order)]
+            pa = np.stack([result.pa_rows[int(rows[idx])] for idx in order])
+            w.write_variants(names, pa, reader_n_used)
