@@ -264,3 +264,31 @@ def test_table_to_bed_matches_reference_binary(ref_bin, table, population,
             assert ref_b == our_b, (i, ext)
         i += 1
     assert found
+
+
+def test_average_phenotypes_matches_reference_awk(tmp_path):
+    """pipeline/align.average_phenotypes vs the reference's awk aggregator
+    (src/awk/average_phenotypes.awk) on duplicated-accession input; the awk
+    emits hash order, so compare as accession -> mean maps."""
+    from kmersgwas_tpu.pipeline.align import average_phenotypes
+
+    rng = np.random.default_rng(13)
+    accs = [f"a{i}" for i in rng.integers(0, 8, size=30)]
+    vals = np.round(rng.normal(size=30), 4)
+    body = "".join(f"{a}\t{v}\n" for a, v in zip(accs, vals))
+    fin = tmp_path / "in.tsv"
+    fin.write_text(body)
+    r = subprocess.run(
+        ["awk", "-f", os.path.join(REF, "src/awk/average_phenotypes.awk"),
+         str(fin)], capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    ref = {}
+    for ln in r.stdout.strip().splitlines()[1:]:
+        a, v = ln.split("\t")
+        ref[a] = float(v)
+    got_a, got_v = average_phenotypes(accs, vals)
+    ours = dict(zip(got_a, got_v))
+    assert set(ours) == set(ref)
+    for a in ref:
+        # awk prints with OFMT %.6g
+        assert ours[a] == pytest.approx(ref[a], rel=1e-5, abs=1e-6)
