@@ -6,7 +6,8 @@ OUT="${1:-/tmp/ref_bin}"
 REF=/root/reference
 HERE="$(cd "$(dirname "$0")" && pwd)"
 mkdir -p "$OUT"
-CXX="g++ -std=c++14 -O2 -pthread -msse4.2 -I$REF/include -I$HERE/include -I$REF/src"
+# -include cmath: transitively provided by the real submodule headers
+CXX="g++ -std=c++14 -O2 -pthread -msse4.2 -include cmath -I$REF/include -I$HERE/include -I$REF/src"
 SRC=$REF/src
 CORE="$SRC/kmer_general.cpp $SRC/kmers_single_database.cpp"
 TBL="$CORE $SRC/kmers_merge_multiple_databaes.cpp"
@@ -17,4 +18,6 @@ $CXX -o "$OUT/emma_kinship_kmers" $SRC/emma_kinship_kmers.cpp $MDB
 $CXX -o "$OUT/associate_kmers" $SRC/associate_kmers.cpp $MDB
 $CXX -o "$OUT/filter_kmers" $SRC/filter_kmers.cpp $CORE
 $CXX -o "$OUT/kmers_table_to_bed" $SRC/kmers_table_to_bed.cpp $MDB
+$CXX -o "$OUT/associate_snps" $SRC/associate_snps.cpp $CORE $SRC/snps_multiple_databases.cpp $SRC/best_associations_heap.cpp
+$CXX -o "$OUT/emma_kinship" $SRC/emma_kinship.cpp
 echo "built into $OUT"

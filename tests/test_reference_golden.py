@@ -292,3 +292,71 @@ def test_average_phenotypes_matches_reference_awk(tmp_path):
     for a in ref:
         # awk prints with OFMT %.6g
         assert ours[a] == pytest.approx(ref[a], rel=1e-5, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def snp_bed(tmp_path_factory):
+    """Synthetic PLINK bed/bim/fam with hom/het/missing genotype codes."""
+    from kmersgwas_tpu.core import formats
+
+    d = tmp_path_factory.mktemp("snps")
+    rng = np.random.default_rng(21)
+    n, m = 14, 300
+    names = [f"s{i:02d}" for i in range(n)]
+    dubits = rng.choice([0, 1, 2, 3], size=(m, n), p=[0.35, 0.05, 0.1, 0.5])
+    nb = (n + 3) // 4
+    bed = bytearray(formats.PLINK_BED_MAGIC)
+    for row in dubits:
+        padded = np.zeros(nb * 4, np.uint8)
+        padded[:n] = row
+        for q in range(nb):
+            b = (padded[4 * q] | (padded[4 * q + 1] << 2)
+                 | (padded[4 * q + 2] << 4) | (padded[4 * q + 3] << 6))
+            bed.append(int(b))
+    base = str(d / "snps")
+    open(base + ".bed", "wb").write(bytes(bed))
+    with open(base + ".bim", "w") as f:
+        for i in range(m):
+            f.write(f"1\tsnp{i}\t0\t{i + 1}\tA\tG\n")
+    y = rng.integers(-6, 7, size=n).astype(np.float64)
+    formats.write_fam(base + ".fam", names, y)
+    return {"base": base, "names": names, "y": y, "dir": d}
+
+
+def test_emma_kinship_bed_matches_reference_binary(ref_bin, snp_bed):
+    from kmersgwas_tpu.snps.kinship import emma_kinship_from_bed
+    r = _run(ref_bin / "emma_kinship", [snp_bed["base"]])
+    ref_K = np.array([[float(v) for v in ln.split("\t")]
+                      for ln in r.stdout.strip().splitlines()])
+    our_K = emma_kinship_from_bed(snp_bed["base"])
+    np.testing.assert_allclose(our_K, ref_K, rtol=0, atol=1e-6)
+
+
+def test_associate_snps_matches_reference_binary(ref_bin, snp_bed,
+                                                 tmp_path_factory):
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.snps import assoc
+    from kmersgwas_tpu.snps.bed import load_bed_planes
+
+    d = tmp_path_factory.mktemp("snp_assoc")
+    names, y = snp_bed["names"], snp_bed["y"]
+    pheno_path = str(d / "p.pheno")
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=["ph"], accessions=names, values=y[:, None]))
+
+    # strict score boundary (same tie caveat as the k-mer scan)
+    planes = load_bed_planes(snp_bed["base"], names)
+    _, scores = assoc.most_associated_snps(planes, y[:, None].astype(
+        np.float32), 100, 0.05, 2)
+    sdesc = np.sort(scores[:, 0])[::-1]
+    n_best = next(k for k in range(10, 90) if sdesc[k - 1] > sdesc[k])
+
+    _run(ref_bin / "associate_snps",
+         [pheno_path, snp_bed["base"], str(d / "ref"), n_best, 0.05, 2])
+    assoc.associate_snps(snp_bed["base"], names, y[:, None], ["ph"],
+                         str(d / "ours"), n_best, 0.05, 2)
+    for ext in (".bed", ".bim"):
+        ref_b = open(str(d / "ref.ph") + ext, "rb").read()
+        our_b = open(str(d / "ours.ph") + ext, "rb").read()
+        assert len(ref_b) > 3
+        assert ref_b == our_b, ext
