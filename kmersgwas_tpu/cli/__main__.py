@@ -318,6 +318,35 @@ def _add_kinship(sub):
     p.set_defaults(func=run)
 
 
+def _add_kinship_mp(sub):
+    p = sub.add_parser(
+        "kinship-mp",
+        help="multi-PROCESS kinship: run once per host with a shared "
+             "coordinator; each process streams its k-mer range "
+             "(parallel/multihost.run_distributed_kinship)")
+    p.add_argument("-t", "--kmers_table", required=True)
+    p.add_argument("--maf", type=float, required=True)
+    p.add_argument("--batch_size", type=int, default=1 << 20)
+    p.add_argument("-o", "--output", required=True,
+                   help="kinship TSV (written by process 0)")
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--process_id", type=int, required=True)
+
+    def run(a):
+        from ..parallel import multihost
+        from ..pipeline import kinship as km
+        multihost.init_distributed(coordinator_address=a.coordinator,
+                                   num_processes=a.num_processes,
+                                   process_id=a.process_id)
+        K = multihost.run_distributed_kinship(a.kmers_table, maf=a.maf,
+                                              batch_size=a.batch_size)
+        if a.process_id == 0:
+            km.write_kinship(a.output, K)
+        print(f"process {a.process_id}: kinship over {K.shape[0]} accessions")
+    p.set_defaults(func=run)
+
+
 def _add_kinship_bed(sub):
     p = sub.add_parser("kinship-bed", help="EMMA kinship from a PLINK bed (emma_kinship)")
     p.add_argument("bedbim_base")
@@ -433,7 +462,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="command", required=True)
     for add in (_add_gwas, _add_count, _add_strand_merge, _add_list_kmers,
                 _add_build_table, _add_associate, _add_associate_mp,
-                _add_kinship,
+                _add_kinship, _add_kinship_mp,
                 _add_kinship_bed, _add_associate_snps, _add_table_to_bed,
                 _add_filter_kmers, _add_kmc, _add_histogram):
         add(sub)

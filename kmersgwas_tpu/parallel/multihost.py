@@ -207,3 +207,65 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     else:
         n_tested = n_tested_local
     return per_pheno, n_tested
+
+
+def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
+                            batch_size: int = 1 << 20, names_to_use=None,
+                            progress=None):
+    """PRODUCT multi-process kinship: every participating process calls this
+    in lockstep after init_distributed(). Each process streams ONLY its
+    contiguous k-mer range (host_row_span) and accumulates per-DEVICE int32
+    partials over its local devices (the same masked-padding accumulate as
+    the single-process mesh path); the (n, n) int64 totals — the only data
+    that ever crosses DCN — are summed across processes at the end. Returns
+    the normalized kinship, identical on every process.
+
+    Reference: src/emma_kinship_kmers.cpp:77-111 (the ~5-day stage)."""
+    import math as _math
+    from ..core.table import KmersTableReader
+    from . import sharding as shard_mod
+
+    mesh = global_mesh()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+
+    reader = KmersTableReader(table_base, names_to_use=names_to_use)
+    n_used = reader.n_used
+    n_pad = reader.w32 * 32
+    min_count = _math.ceil(n_used * maf)
+    my_lo, my_hi = host_row_span(table_base, pid, n_proc)
+
+    d_loc = len(jax.local_devices())
+    local_mesh = Mesh(np.array(jax.local_devices()).reshape(-1), (AXIS,))
+    from ..pipeline.kinship import (KinshipAccumulator,
+                                   ShardedKinshipAccumulator)
+    if d_loc > 1:
+        acc = ShardedKinshipAccumulator(n_used=n_used, n_pad=n_pad,
+                                        mesh=local_mesh)
+    else:
+        acc = KinshipAccumulator(n_used=n_used, n_pad=n_pad)
+
+    import jax.numpy as jnp
+    for batch in reader.iter_batches(batch_size, min_count,
+                                     start_row=my_lo, end_row=my_hi):
+        if batch.n_rows == 0:
+            continue
+        acc.add(np.asarray(batch.packed) if d_loc > 1
+                else jnp.asarray(batch.packed))
+        if progress is not None:
+            progress(batch.n_rows)
+    acc.flush()
+
+    total, n_rows = acc.total, acc.n_rows
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+        total = np.asarray(multihost_utils.process_allgather(
+            total.astype(np.float64))).sum(axis=0).astype(np.int64)
+        n_rows = int(multihost_utils.process_allgather(
+            np.int64(n_rows)).sum())
+    if n_rows == 0:
+        raise ValueError("no k-mers accumulated into kinship")
+    xnor = (n_rows + total) / 2.0
+    K = xnor / float(n_rows)
+    np.fill_diagonal(K, 1.0)
+    return K

@@ -228,3 +228,54 @@ def test_three_process_skewed_spans(tmp_path):
         np.testing.assert_allclose(np.sort(got_s), np.sort(ref.scores[j]),
                                    rtol=1e-4)
     assert int(open(tmp_path / "pheno.tested_kmers").read()) == ref.n_tested
+
+
+@pytest.mark.slow
+def test_two_process_kinship_cli(tmp_path):
+    """CLI kinship-mp: two jax.distributed processes each accumulate their
+    k-mer range; process 0's TSV must equal the single-process kinship."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.pipeline import kinship as km
+
+    rng = np.random.default_rng(66)
+    rows, n, kmer_len = 500, 18, 15
+    names = [f"acc{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+
+    port = _free_port()
+    import kmersgwas_tpu
+    env = {k_: v for k_, v in os.environ.items()
+           if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        kmersgwas_tpu.__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    out_tsv = str(tmp_path / "K.tsv")
+    args = ["-t", base, "--maf", "0.1", "--batch_size", "64",
+            "-o", out_tsv, "--coordinator", f"127.0.0.1:{port}",
+            "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "kinship-mp",
+         *args, "--process_id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        assert pr.returncode == 0, out.decode(errors="replace")[-3000:]
+
+    K_ref = km.kinship_from_table(base, maf=0.1, batch_size=64)
+    K_got = km.read_kinship(out_tsv)
+    np.testing.assert_allclose(K_got, K_ref, rtol=0, atol=1e-12)
