@@ -20,4 +20,6 @@ $CXX -o "$OUT/filter_kmers" $SRC/filter_kmers.cpp $CORE
 $CXX -o "$OUT/kmers_table_to_bed" $SRC/kmers_table_to_bed.cpp $MDB
 $CXX -o "$OUT/associate_snps" $SRC/associate_snps.cpp $CORE $SRC/snps_multiple_databases.cpp $SRC/best_associations_heap.cpp
 $CXX -o "$OUT/emma_kinship" $SRC/emma_kinship.cpp
+$CXX -o "$OUT/kmers_add_strand_information" $SRC/kmers_add_strand_information.cpp $CORE
+$CXX -o "$OUT/histogram_KMC_kmers_counts" $SRC/histogram_KMC_kmers_counts.cpp $CORE
 echo "built into $OUT"

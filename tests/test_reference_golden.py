@@ -360,3 +360,55 @@ def test_associate_snps_matches_reference_binary(ref_bin, snp_bed,
         our_b = open(str(d / "ours.ph") + ext, "rb").read()
         assert len(ref_b) > 3
         assert ref_b == our_b, ext
+
+
+def test_strand_merge_matches_reference_binary(ref_bin, tmp_path_factory):
+    """The real kmers_add_strand_information consumes KMC1 databases written
+    by OUR kmc-export (the stub CKMCFile implements KMC1 listing); its
+    strand-flagged sorted list must be byte-identical to our strand-merge."""
+    from kmersgwas_tpu.core import codec
+    from kmersgwas_tpu.ingest import kmc, strand
+
+    d = tmp_path_factory.mktemp("strand")
+    rng = np.random.default_rng(31)
+    pool = np.unique(codec.canonize(
+        rng.integers(0, 1 << (2 * K), size=1500, dtype=np.uint64), K))
+    cat = rng.integers(0, 3, size=len(pool))
+    rc = codec.reverse_complement(pool, K)
+    observed = np.unique(np.concatenate([pool[cat != 1], rc[cat != 0]]))
+    canon_counts = rng.integers(2, 50, size=len(pool)).astype(np.uint64)
+    obs_counts = rng.integers(1, 50, size=len(observed)).astype(np.uint64)
+
+    kmc.write_kmc1(str(d / "canon"), pool, canon_counts, K)
+    kmc.write_kmc1(str(d / "nonc"), observed, obs_counts, K)
+
+    _run(ref_bin / "kmers_add_strand_information",
+         ["-c", str(d / "canon"), "-n", str(d / "nonc"), "-k", K,
+          "-o", str(d / "ref.kmers")])
+    strand.write_strand_list(str(d / "ours.kmers"), pool, observed, K)
+    ref = open(d / "ref.kmers", "rb").read()
+    ours = open(d / "ours.kmers", "rb").read()
+    assert len(ref) == 8 * len(pool)
+    assert ref == ours
+
+
+def test_histogram_matches_reference_binary(ref_bin, tmp_path_factory):
+    """The real histogram_KMC_kmers_counts over OUR KMC1 export vs our
+    counts_histogram."""
+    from kmersgwas_tpu.core import codec
+    from kmersgwas_tpu.ingest import kmc
+    from kmersgwas_tpu.ingest.counter import counts_histogram
+
+    d = tmp_path_factory.mktemp("hist")
+    rng = np.random.default_rng(32)
+    kmers = np.unique(rng.integers(0, 1 << (2 * K), size=800,
+                                   dtype=np.uint64))
+    counts = rng.integers(1, 30, size=len(kmers)).astype(np.uint64)
+    kmc.write_kmc1(str(d / "db"), kmers, counts, K)
+    r = _run(ref_bin / "histogram_KMC_kmers_counts",
+             ["-d", str(d), "-n", "db", "-k", K])
+    ref_lines = r.stdout.strip().splitlines()[1:]
+    ref_h = {int(a): int(c) for a, c in (ln.split("\t") for ln in ref_lines)}
+    ours = counts_histogram(counts)
+    got_h = {i: int(c) for i, c in enumerate(ours) if c}
+    assert {k: v for k, v in ref_h.items() if v} == got_h
