@@ -283,11 +283,27 @@ def _add_associate_mp(sub):
             kmer_of_row, pa_of_row = scan_mod.fetch_rows(
                 reader, all_rows.astype(np.int64))
             base = f"{a.output_dir}/{a.base_name}"
+            kmers_list, scores_list, rows_list = [], [], []
             for j, name in enumerate(pheno.names):
                 sc, rw = per_pheno[j]
                 kk = np.array([kmer_of_row[int(r)] for r in rw], np.uint64)
+                kmers_list.append(kk)
+                scores_list.append(np.asarray(sc, np.float64))
+                rows_list.append(np.asarray(rw, np.int64))
                 formats.write_best_kmers_scores(
                     f"{base}.{j}.best_kmers.scores", kk, sc)
+            # full artifact parity with single-process associate: winner
+            # bed/bim/fam per column
+            result = scan_mod.ScanResult(
+                names=list(pheno.names), scores=scores_list, rows=rows_list,
+                kmers=kmers_list, n_tested=n_tested, pa_rows=pa_of_row)
+            plink_bases = [f"{base}.{j}.{nm}"
+                           for j, nm in enumerate(pheno.names)]
+            scan_mod.export_plink(result, reader.n_used, a.kmer_len,
+                                  plink_bases)
+            for j, nm in enumerate(pheno.names):
+                formats.write_fam(plink_bases[j] + ".fam", pheno.accessions,
+                                  pheno.values[:, j])
             with open(f"{base}.tested_kmers", "w") as f:
                 f.write(f"{n_tested}\n")
         print(f"process {a.process_id}: tested {n_tested} k-mers (global)")

@@ -158,6 +158,16 @@ def test_two_process_product_driver_cli(tmp_path):
                                    rtol=1e-4)
     n_tested = int(open(tmp_path / "pheno.tested_kmers").read())
     assert n_tested == ref.n_tested
+    # full PLINK artifact parity with single-process associate
+    from kmersgwas_tpu.pipeline import scan as sm
+    d2 = tmp_path / "single"
+    d2.mkdir()
+    bases_ref = [str(d2 / f"s.{j}") for j in range(p)]
+    sm.export_plink(ref, n, kmer_len, bases_ref)
+    for j in range(p):
+        mp_bed = open(tmp_path / f"pheno.{j}.{['a','b','c'][j]}.bed",
+                      "rb").read()
+        assert mp_bed == open(bases_ref[j] + ".bed", "rb").read()
 
 
 @pytest.mark.slow
