@@ -211,7 +211,8 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
 
 def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
                             batch_size: int = 1 << 20, names_to_use=None,
-                            progress=None):
+                            checkpoint_path: str | None = None,
+                            checkpoint_every: int = 50, progress=None):
     """PRODUCT multi-process kinship: every participating process calls this
     in lockstep after init_distributed(). Each process streams ONLY its
     contiguous k-mer range (host_row_span) and accumulates per-DEVICE int32
@@ -219,6 +220,11 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
     the single-process mesh path); the (n, n) int64 totals — the only data
     that ever crosses DCN — are summed across processes at the end. Returns
     the normalized kinship, identical on every process.
+
+    checkpoint_path: per-process checkpoints (`<path>.p<pid>`) let a
+    crashed host resume from its last saved span position while the others
+    rerun independently — totals only combine at the end, so per-process
+    restartability is exact.
 
     Reference: src/emma_kinship_kmers.cpp:77-111 (the ~5-day stage)."""
     import math as _math
@@ -245,13 +251,29 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
     else:
         acc = KinshipAccumulator(n_used=n_used, n_pad=n_pad)
 
+    from ..pipeline import checkpoint as ckpt
+    my_ckpt = f"{checkpoint_path}.p{pid}" if checkpoint_path else None
+    start_row = my_lo
+    if my_ckpt:
+        resumed = ckpt.load_kinship_state(my_ckpt, stream="table")
+        if resumed is not None:
+            acc.total, acc.n_rows, start_row = resumed
+            start_row = max(start_row, my_lo)
+
     import jax.numpy as jnp
+    batch_i = 0
     for batch in reader.iter_batches(batch_size, min_count,
-                                     start_row=my_lo, end_row=my_hi):
+                                     start_row=start_row, end_row=my_hi):
         if batch.n_rows == 0:
             continue
         acc.add(np.asarray(batch.packed) if d_loc > 1
                 else jnp.asarray(batch.packed))
+        batch_i += 1
+        if my_ckpt and batch_i % checkpoint_every == 0:
+            acc.flush()
+            ckpt.save_kinship_state(my_ckpt, acc.total, acc.n_rows,
+                                    int(batch.row_index[-1]) + 1,
+                                    stream="table")
         if progress is not None:
             progress(batch.n_rows)
     acc.flush()

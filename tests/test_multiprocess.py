@@ -289,3 +289,39 @@ def test_two_process_kinship_cli(tmp_path):
     K_ref = km.kinship_from_table(base, maf=0.1, batch_size=64)
     K_got = km.read_kinship(out_tsv)
     np.testing.assert_allclose(K_got, K_ref, rtol=0, atol=1e-12)
+
+
+def test_distributed_kinship_single_process_checkpoint(tmp_path):
+    """run_distributed_kinship degenerate single-process case with
+    per-process checkpoint: resumed run equals the uninterrupted one."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.parallel import multihost
+    from kmersgwas_tpu.pipeline import kinship as km
+
+    rng = np.random.default_rng(71)
+    rows, n, kmer_len = 300, 16, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+
+    K_ref = km.kinship_from_table(base, maf=0.1, batch_size=50)
+    ck = str(tmp_path / "kc")
+    K1 = multihost.run_distributed_kinship(base, maf=0.1, batch_size=50,
+                                           checkpoint_path=ck,
+                                           checkpoint_every=2)
+    np.testing.assert_array_equal(K1, K_ref)
+    assert os.path.exists(ck + ".p0.npz")
+    # resume from the saved checkpoint (simulates a restarted host)
+    K2 = multihost.run_distributed_kinship(base, maf=0.1, batch_size=50,
+                                           checkpoint_path=ck,
+                                           checkpoint_every=2)
+    np.testing.assert_array_equal(K2, K_ref)
