@@ -114,11 +114,24 @@ def init_global_buffered_state(mesh: Mesh, n_phenotypes: int, k: int,
         thresh=put(np.full((d_loc, n_phenotypes), -np.inf, np.float32)))
 
 
+def _local_state_blocks(state):
+    """Sharded BufferedTopKState -> dict of this process's local shard
+    arrays (concatenated over local devices along the leading axis)."""
+    out = {}
+    for f in state._fields:
+        arr = getattr(state, f)
+        blocks = [np.asarray(sh.data) for sh in arr.addressable_shards]
+        out[f] = np.concatenate(blocks, axis=0)
+    return out
+
+
 def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
                          pheno_names, *, kmer_len: int, n_top: int = 10001,
                          maf: float = 0.05, mac: int = 5,
                          batch_size: int = 2_000_000,
-                         use_pallas="auto", progress=None):
+                         use_pallas="auto",
+                         checkpoint_path: str | None = None,
+                         checkpoint_every: int = 20, progress=None):
     """PRODUCT multi-process scan driver: every participating process calls
     this in lockstep AFTER init_distributed(). Returns the per-phenotype
     merged (scores, rows) lists plus n_tested — identical content on every
@@ -129,7 +142,13 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     global step the rows shard across all devices of the global mesh and
     the compact per-device top-k state never communicates until finalize.
     The table must be visible on every host's filesystem (the reference's
-    shared-FS model, SURVEY.md §2.5)."""
+    shared-FS model, SURVEY.md §2.5).
+
+    checkpoint_path: per-process checkpoints (`<path>.p<pid>`) of the raw
+    local top-k state shards + span position. Per-process states never
+    interact until finalize, so each process resumes its own span exactly;
+    resumed span starts are allgathered so the lockstep step count stays
+    consistent."""
     import math as _math
     from ..core.table import KmersTableReader
     from ..ops import score as score_ops
@@ -162,20 +181,47 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     cand_q = 64
 
     spans = [host_row_span(table_base, h, n_proc) for h in range(n_proc)]
-    n_steps = max(1, max(-(-(e - s) // local_rows) for s, e in spans))
     my_lo, my_hi = spans[pid]
+
+    my_ckpt = f"{checkpoint_path}.p{pid}.npz" if checkpoint_path else None
+    resumed = None
+    if my_ckpt:
+        import os as _os
+        if _os.path.exists(my_ckpt):
+            z = np.load(my_ckpt)
+            if bytes(z["stream"]).decode() == "table":
+                resumed = z
+    start_row = int(resumed["next_row"]) if resumed is not None else my_lo
+    start_row = max(start_row, my_lo)
+    n_tested_resumed = int(resumed["n_tested"]) if resumed is not None else 0
+
+    starts = [start_row]
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+        starts = list(np.asarray(multihost_utils.process_allgather(
+            np.int64(start_row))).ravel())
+    n_steps = max(1, max(-(-(e - max(s0, s)) // local_rows)
+                         for (s, e), s0 in zip(spans, starts)))
 
     yp, ysum = score_ops.prepare_phenotypes(
         np.asarray(pheno_values, np.float32), n_pad)
     ypr, ysr = replicated(mesh, np.asarray(yp), np.asarray(ysum))
     state = init_global_buffered_state(mesh, p, n_top, buf_cap=cand_c * 24)
+    if resumed is not None:
+        from ..ops import scanstep as _ss
+        sh = NamedSharding(mesh, P(AXIS))
+        state = _ss.BufferedTopKState(*[
+            jax.make_array_from_process_local_data(sh, resumed[f])
+            for f in _ss.BufferedTopKState._fields])
     step = shard_mod.build_sharded_scan_step_compact(
         mesh, n_used=n_used, min_count=min_count, kernel=kernel,
         cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
 
-    batches = reader.iter_batches(local_rows, min_count, start_row=my_lo,
-                                  end_row=my_hi)
-    n_tested_local = 0
+    batches = reader.iter_batches(local_rows, min_count,
+                                  start_row=start_row, end_row=my_hi)
+    n_tested_local = n_tested_resumed
+    next_pos = start_row
+    step_i = 0
     for _ in range(n_steps):
         try:
             b = next(batches)
@@ -196,6 +242,17 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         gp, gpc, glo, ghi = make_global_batch(mesh,
                                               [packed, popcnt, lo, hi])
         state = step(state, gp, gpc, glo, ghi, ypr, ysr)
+        next_pos = int(brows[-1]) + 1 if r else next_pos
+        step_i += 1
+        if my_ckpt and step_i % checkpoint_every == 0:
+            blocks = _local_state_blocks(state)
+            blocks.update(next_row=np.int64(next_pos),
+                          n_tested=np.int64(n_tested_local),
+                          stream=np.bytes_(b"table"))
+            tmp = my_ckpt + ".tmp.npz"
+            np.savez(tmp, **blocks)
+            import os as _os
+            _os.replace(tmp, my_ckpt)
         if progress is not None:
             progress(r)
 

@@ -325,3 +325,42 @@ def test_distributed_kinship_single_process_checkpoint(tmp_path):
                                            checkpoint_path=ck,
                                            checkpoint_every=2)
     np.testing.assert_array_equal(K2, K_ref)
+
+
+def test_distributed_scan_single_process_checkpoint(tmp_path):
+    """run_distributed_scan checkpoint/resume (single-process degenerate
+    case): resumed run reproduces the uninterrupted result exactly."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.parallel import multihost
+    from kmersgwas_tpu.pipeline import scan as scan_mod
+
+    rng = np.random.default_rng(81)
+    rows, n, p, k, kmer_len = 400, 20, 2, 15, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, p))
+
+    ref = scan_mod.associate(base, names, y, ["a", "b"], kmer_len=kmer_len,
+                             n_top=k, maf=0.05, mac=2, batch_size=64)
+    ck = str(tmp_path / "sck")
+    kw = dict(kmer_len=kmer_len, n_top=k, maf=0.05, mac=2, batch_size=64,
+              checkpoint_path=ck, checkpoint_every=1)
+    per1, n1 = multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                              **kw)
+    assert os.path.exists(ck + ".p0.npz")
+    per2, n2 = multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                              **kw)
+    for per, nt in ((per1, n1), (per2, n2)):
+        for j in range(p):
+            np.testing.assert_array_equal(per[j][1], ref.rows[j])
+            np.testing.assert_allclose(per[j][0], ref.scores[j], rtol=1e-6)
