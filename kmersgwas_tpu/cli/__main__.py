@@ -260,6 +260,8 @@ def _add_associate_mp(sub):
                    help="host:port of process 0")
     p.add_argument("--num_processes", type=int, required=True)
     p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="per-process checkpoint base (<path>.p<pid>.npz)")
 
     def run(a):
         from ..core import formats
@@ -273,7 +275,7 @@ def _add_associate_mp(sub):
         per_pheno, n_tested = multihost.run_distributed_scan(
             a.kmers_table, pheno.accessions, pheno.values, pheno.names,
             kmer_len=a.kmer_len, n_top=a.best, maf=a.maf, mac=a.mac,
-            batch_size=a.batch_size,
+            batch_size=a.batch_size, checkpoint_path=a.checkpoint,
             use_pallas=True if a.pallas else "auto")
         if a.process_id == 0:     # replicated result: one writer
             reader = KmersTableReader(a.kmers_table,
@@ -348,6 +350,8 @@ def _add_kinship_mp(sub):
     p.add_argument("--coordinator", required=True)
     p.add_argument("--num_processes", type=int, required=True)
     p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="per-process checkpoint base (<path>.p<pid>)")
 
     def run(a):
         from ..parallel import multihost
@@ -356,7 +360,8 @@ def _add_kinship_mp(sub):
                                    num_processes=a.num_processes,
                                    process_id=a.process_id)
         K = multihost.run_distributed_kinship(a.kmers_table, maf=a.maf,
-                                              batch_size=a.batch_size)
+                                              batch_size=a.batch_size,
+                                              checkpoint_path=a.checkpoint)
         if a.process_id == 0:
             km.write_kinship(a.output, K)
         print(f"process {a.process_id}: kinship over {K.shape[0]} accessions")
