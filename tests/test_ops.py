@@ -514,3 +514,38 @@ def test_score_precision_plumbing_interpret():
         yp, ysum, n_used=n, min_count=2, kernel="xla", cand_c=2, cand_k=6,
         tile_rows=64, precision="highest")
     assert np.isfinite(float(np.asarray(st.thresh)[0]))
+
+
+def test_scan_step_compact_pre_transposed_stream_equal():
+    """Full compact-step streaming equality with pre_transposed=True inputs
+    (the bench's layout): final top-k bit-identical to the row-major path
+    across append/flush/fallback branches."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(35)
+    n, p, k = 40, 3, 16
+    n_pad = 128
+    rows_per, n_batches = 256, 16
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    st_a = scanstep.init_buffered_state(p, k, buf_cap=24)
+    st_b = scanstep.init_buffered_state(p, k, buf_cap=24)
+    kw = dict(y_padded=yp, y_sum=ysum, n_used=n, min_count=min_count,
+              kernel="xla", cand_c=4, cand_k=12, tile_rows=64)
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+        st_a = scanstep.scan_step_compact(st_a, packed, pc, lo, hi, **kw)
+        st_b = scanstep.scan_step_compact(st_b, packed.T, pc, lo, hi,
+                                          pre_transposed=True, **kw)
+    fa = scanstep.flush_buffered(st_a)
+    fb = scanstep.flush_buffered(st_b)
+    np.testing.assert_array_equal(np.asarray(fa.scores), np.asarray(fb.scores))
+    np.testing.assert_array_equal(np.asarray(fa.row_lo), np.asarray(fb.row_lo))
+    np.testing.assert_array_equal(np.asarray(fa.row_hi), np.asarray(fb.row_hi))

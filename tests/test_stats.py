@@ -486,3 +486,31 @@ def test_emma_X0_custom_null_covariates():
                                np.asarray(t_same["stats"]), rtol=1e-12)
     t_cov = emma.emma_REML_t(y, xs, K, X0=X0)
     assert np.all(np.asarray(t_cov["dfs"]) == n - 3)
+
+
+def test_emma_Z_and_X0_combined():
+    """Z and X0 compose: replication incidence + covariate null design
+    equals running with the expanded kinship and the same X0."""
+    from kmersgwas_tpu.stats import emma
+    rng = np.random.default_rng(47)
+    t, reps = 12, 2
+    n = t * reps
+    G0 = rng.normal(size=(t, 3 * t))
+    Kt = G0 @ G0.T / (3 * t)
+    Kt = Kt / np.diag(Kt).mean()
+    Z = np.zeros((n, t))
+    Z[np.arange(n), np.repeat(np.arange(t), reps)] = 1.0
+    cov = rng.normal(size=n)
+    X0 = np.column_stack([np.ones(n), cov])
+    y = rng.normal(size=n)
+    xs = (rng.random((3, n)) < 0.4).astype(float)
+    Kn = Z @ Kt @ Z.T
+    a = emma.emma_ML_LRT(y, xs, Kt, Z=Z, X0=X0)
+    b = emma.emma_ML_LRT(y, xs, Kn, X0=X0)
+    np.testing.assert_allclose(np.asarray(a["ps"]), np.asarray(b["ps"]),
+                               rtol=1e-8)
+    ta = emma.emma_REML_t(y, xs, Kt, Z=Z, X0=X0)
+    tb = emma.emma_REML_t(y, xs, Kn, X0=X0)
+    np.testing.assert_allclose(np.asarray(ta["stats"]),
+                               np.asarray(tb["stats"]), rtol=1e-8)
+    assert np.all(np.asarray(ta["dfs"]) == n - 3)
