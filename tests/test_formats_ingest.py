@@ -455,3 +455,21 @@ def test_kmc_forward_compat_larger_header(tmp_path):
     assert klen == 21
     np.testing.assert_array_equal(k2, kmers)
     np.testing.assert_array_equal(c2, counts)
+
+
+def test_kmc2_many_bins_roundtrip(tmp_path):
+    """KMC2 layout with the counter's real-world bin count (512) and
+    signature length 9 — exercises multi-bin LUT reconstruction at scale."""
+    from kmersgwas_tpu.ingest import kmc
+    rng = np.random.default_rng(123)
+    k = 25
+    kmers = np.sort(rng.choice(1 << (2 * k), size=3000, replace=False)
+                    ).astype(np.uint64)
+    counts = rng.integers(1, 1000, size=3000).astype(np.uint64)
+    base = str(tmp_path / "db512")
+    kmc.write_kmc2(base, kmers, counts, k, lut_prefix_len=2,
+                   signature_len=9, n_bins=512, counter_size=3)
+    k2, c2, klen = kmc.read_kmc(base)
+    assert klen == k
+    np.testing.assert_array_equal(k2, kmers)
+    np.testing.assert_array_equal(c2, counts)
