@@ -256,6 +256,14 @@ def _add_associate_mp(sub):
     p.add_argument("--maf", type=float, default=0.05)
     p.add_argument("--mac", type=int, default=5)
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--pattern_counter", action="store_true")
+    p.add_argument("--first_phenotype_best", type=int, default=None)
+    p.add_argument("--dtable_cache", default=None,
+                   help="base path for the per-process device-native table "
+                        "cache (<base>.p<pid>of<nproc>)")
+    p.add_argument("--score_precision", default="default",
+                   choices=["default", "highest"],
+                   help="score GEMM matmul precision on TPU")
     p.add_argument("--coordinator", required=True,
                    help="host:port of process 0")
     p.add_argument("--num_processes", type=int, required=True)
@@ -272,10 +280,14 @@ def _add_associate_mp(sub):
                                    num_processes=a.num_processes,
                                    process_id=a.process_id)
         pheno = formats.read_phenotypes(a.phenotype_file)
-        per_pheno, n_tested = multihost.run_distributed_scan(
+        per_pheno, n_tested, n_patterns = multihost.run_distributed_scan(
             a.kmers_table, pheno.accessions, pheno.values, pheno.names,
             kmer_len=a.kmer_len, n_top=a.best, maf=a.maf, mac=a.mac,
             batch_size=a.batch_size, checkpoint_path=a.checkpoint,
+            count_patterns=a.pattern_counter,
+            first_phenotype_top=a.first_phenotype_best,
+            dtable_cache=a.dtable_cache,
+            score_precision=a.score_precision,
             use_pallas=True if a.pallas else "auto")
         if a.process_id == 0:     # replicated result: one writer
             reader = KmersTableReader(a.kmers_table,
@@ -288,7 +300,7 @@ def _add_associate_mp(sub):
             kmers_list, scores_list, rows_list = [], [], []
             for j, name in enumerate(pheno.names):
                 sc, rw = per_pheno[j]
-                kk = np.array([kmer_of_row[int(r)] for r in rw], np.uint64)
+                kk = np.asarray(kmer_of_row.take(rw), np.uint64)
                 kmers_list.append(kk)
                 scores_list.append(np.asarray(sc, np.float64))
                 rows_list.append(np.asarray(rw, np.int64))
@@ -308,6 +320,9 @@ def _add_associate_mp(sub):
                                   pheno.values[:, j])
             with open(f"{base}.tested_kmers", "w") as f:
                 f.write(f"{n_tested}\n")
+            if n_patterns is not None:
+                with open(f"{base}.pattern_counter", "w") as f:
+                    f.write(f"{n_patterns}\n")
         print(f"process {a.process_id}: tested {n_tested} k-mers (global)")
     p.set_defaults(func=run)
 

@@ -42,9 +42,15 @@ class DTableHeader:
 
 
 def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
-                 min_count: int = 1, batch_rows: int = 1 << 20) -> DTableHeader:
+                 min_count: int = 1, batch_rows: int = 1 << 20,
+                 start_row: int = 0,
+                 end_row: int | None = None) -> DTableHeader:
     """One streaming pass: .table -> .dtable for the given accession subset,
     dropping rows that fail the two-tail MAC filter at `min_count`.
+
+    start_row/end_row restrict the pass to a contiguous .table row span —
+    used by the multi-process drivers so each host caches only its own
+    k-mer range (parallel/multihost.host_row_span).
 
     Fully out-of-core: each section streams to its own spill file as batches
     arrive, then the sections are stitched behind the header — peak memory
@@ -56,7 +62,9 @@ def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
     n_rows = 0
     fh = {s: open(p, "wb") for s, p in spills.items()}
     try:
-        for batch in reader.iter_batches(batch_rows, min_count):
+        for batch in reader.iter_batches(batch_rows, min_count,
+                                         start_row=start_row,
+                                         end_row=end_row):
             batch.kmers.astype("<u8").tofile(fh["kmers"])
             batch.popcnt.astype("<u2").tofile(fh["popcnt"])
             np.ascontiguousarray(batch.packed).astype("<u4").tofile(fh["planes"])

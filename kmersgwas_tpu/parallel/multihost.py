@@ -43,12 +43,30 @@ def global_mesh() -> Mesh:
     return Mesh(np.array(jax.devices()).reshape(-1), (AXIS,))
 
 
+def _bisect_col0_right(mm: np.ndarray, stride: int, n_rows: int,
+                       value: int) -> int:
+    """searchsorted(..., side="right") on the k-mer column of a memmapped
+    row-major table WITHOUT materializing the column: numpy's searchsorted on
+    a strided memmap view makes a contiguous copy (the whole file read into
+    RAM); element-wise bisection touches only O(log n) pages."""
+    value = np.uint64(value)
+    lo, hi = 0, n_rows
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if mm[mid * stride] <= value:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def host_row_span(table_base: str, host_id: int, n_hosts: int):
     """-> (start_row, end_row) of this host's contiguous k-mer range.
 
     The table is sorted by k-mer code, so the reference's range-partition
     boundaries (core/codec.step_bounds) become contiguous row spans found by
-    binary search over the memory-mapped k-mer column.
+    binary search over the memory-mapped k-mer column (O(log n) element
+    reads — a 10^10-row table costs ~35 page touches, not an 80 GB copy).
     """
     reader = KmersTableReader(table_base)
     if n_hosts <= 1:
@@ -59,10 +77,10 @@ def host_row_span(table_base: str, host_id: int, n_hosts: int):
     wf = reader.header.row_words()
     mm = np.memmap(reader.base + ".table", dtype="<u8", mode="r",
                    offset=formats.TableHeader.HEADER_BYTES)
-    kmers = mm.reshape(-1, 1 + wf)[:, 0]
-    start = int(np.searchsorted(kmers, np.uint64(lo_k), side="right")
-                if host_id else 0)
-    end = int(np.searchsorted(kmers, np.uint64(hi_k), side="right"))
+    stride = 1 + wf
+    n_rows = reader.n_rows_total
+    start = (_bisect_col0_right(mm, stride, n_rows, lo_k) if host_id else 0)
+    end = _bisect_col0_right(mm, stride, n_rows, hi_k)
     return start, end
 
 
@@ -125,34 +143,82 @@ def _local_state_blocks(state):
     return out
 
 
+def _union_patterns_across_processes(patterns) -> int:
+    """Cross-process union of per-process distinct pattern-hash sets.
+
+    Pattern hashes are shard-local (each table row lives on exactly one
+    process), but the SAME presence/absence pattern can occur in several
+    spans, so the global distinct count needs a set union: lengths are
+    allgathered first, every process pads its sorted hash array to the max
+    and allgathers, then unions with the true lengths. One collective,
+    at the very end (reference semantics:
+    src/kmers_multiple_databases.cpp:377-380)."""
+    from jax.experimental import multihost_utils
+    local = patterns.sorted_hashes()
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.int64(len(local)))).ravel()
+    mx = int(lens.max())
+    if mx == 0:
+        return 0
+    padded = np.zeros(mx, np.uint64)
+    padded[:len(local)] = local
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(len(lens), mx)
+    return len(np.unique(np.concatenate(
+        [gathered[i, :n] for i, n in enumerate(lens)])))
+
+
 def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
                          pheno_names, *, kmer_len: int, n_top: int = 10001,
                          maf: float = 0.05, mac: int = 5,
                          batch_size: int = 2_000_000,
                          use_pallas="auto",
+                         first_phenotype_top: int | None = None,
+                         count_patterns: bool = False,
+                         dtable_cache: str | None = None,
+                         score_precision: str = "default",
                          checkpoint_path: str | None = None,
                          checkpoint_every: int = 20, progress=None):
     """PRODUCT multi-process scan driver: every participating process calls
-    this in lockstep AFTER init_distributed(). Returns the per-phenotype
-    merged (scores, rows) lists plus n_tested — identical content on every
-    process (the finalize all_gather replicates candidates).
+    this in lockstep AFTER init_distributed(). Returns (per_pheno,
+    n_tested, n_patterns) — per-phenotype merged (scores, rows) lists (the
+    finalize all_gather replicates candidates on every process), the global
+    MAC-passing count, and the global distinct-pattern count (None unless
+    count_patterns).
+
+    Full feature parity with the single-process `associate`
+    (src/associate_kmers.cpp:92-96,130-132):
+      first_phenotype_top — larger top-k for column 0 (--first_phenotype_best)
+      count_patterns      — global distinct presence/absence patterns
+      dtable_cache        — per-process device-native cache of this host's
+                            span (`<cache>.p<pid>of<nproc>`), built on first
+                            use; subsequent runs stream memmap slices with
+                            no host-side squeeze work
+      score_precision     — "default" | "highest" TPU matmul precision
 
     Topology: this process streams ONLY its contiguous k-mer range of the
     sorted table (host_row_span — DCN never carries table rows); within a
     global step the rows shard across all devices of the global mesh and
     the compact per-device top-k state never communicates until finalize.
-    The table must be visible on every host's filesystem (the reference's
-    shared-FS model, SURVEY.md §2.5).
+    The step count is DYNAMIC: before each dispatch the processes allgather
+    a had-data byte and stop as soon as every stream is exhausted — no dead
+    lockstep steps when MAC filtering (or skewed spans) shrink some spans
+    (the device path stays collective-free; this is one host-side scalar
+    sync per step). The table must be visible on every host's filesystem
+    (the reference's shared-FS model, SURVEY.md §2.5).
 
     checkpoint_path: per-process checkpoints (`<path>.p<pid>`) of the raw
-    local top-k state shards + span position. Per-process states never
-    interact until finalize, so each process resumes its own span exactly;
-    resumed span starts are allgathered so the lockstep step count stays
-    consistent."""
+    local top-k state shards + span position, stamped with a topology
+    fingerprint (n_proc, span bounds, table rows, state shape) — resuming
+    under a DIFFERENT topology is refused rather than silently mis-scanning.
+    Per-process states never interact until finalize, so each process
+    resumes its own span exactly."""
     import math as _math
     from ..core.table import KmersTableReader
     from ..ops import score as score_ops
     from ..ops import topk as topk_ops
+    from ..pipeline import checkpoint as ckpt
+    from ..pipeline.scan import _PatternCounter
     from ..utils import pick_kernel
     from . import sharding as shard_mod
 
@@ -167,8 +233,10 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     n_pad = reader.w32 * 32
     pheno_values = np.asarray(pheno_values)
     p = pheno_values.shape[1]
+    k_eff = max(n_top, first_phenotype_top or 0)
     kernel = pick_kernel(use_pallas)
     tile = 2048 if kernel == "pallas" else 128
+    patterns = _PatternCounter() if count_patterns else None
 
     # per-process slice of each global batch, padded so every DEVICE shard
     # is a whole number of kernel tiles
@@ -176,12 +244,32 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     local_rows = ((max(batch_size // n_proc, 1) + quantum - 1)
                   // quantum) * quantum
     shard_rows = local_rows * n_proc // n_dev
-    cand_c = min(256, n_top, max(1, shard_rows // tile))
-    cand_k = min(max(cand_c, n_top // 8), n_top, shard_rows)
+    cand_c = min(256, k_eff, max(1, shard_rows // tile))
+    cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
     cand_q = 64
 
-    spans = [host_row_span(table_base, h, n_proc) for h in range(n_proc)]
-    my_lo, my_hi = spans[pid]
+    my_lo, my_hi = host_row_span(table_base, pid, n_proc)
+    stream_tag = "dtable" if dtable_cache else "table"
+    meta = {"n_proc": n_proc, "span_lo": my_lo, "span_hi": my_hi,
+            "table_rows": reader.n_rows_total, "k_eff": k_eff,
+            "n_pheno": p, "n_used": n_used}
+
+    dt = None
+    if dtable_cache:
+        import os as _os
+        from ..core import dtable as dt_mod
+        my_cache = (f"{dtable_cache}.p{pid}of{n_proc}" if n_proc > 1
+                    else str(dtable_cache))
+        if _os.path.exists(my_cache):
+            dt = dt_mod.DTableReader(my_cache)
+            if dt.hdr.min_count != min_count or dt.hdr.n_used != n_used:
+                dt = None            # stale cache for a different filter
+        if dt is None:
+            dt_mod.build_dtable(table_base, my_cache,
+                                names_to_use=pheno_accessions,
+                                min_count=min_count,
+                                start_row=my_lo, end_row=my_hi)
+            dt = dt_mod.DTableReader(my_cache)
 
     my_ckpt = f"{checkpoint_path}.p{pid}.npz" if checkpoint_path else None
     resumed = None
@@ -189,24 +277,18 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         import os as _os
         if _os.path.exists(my_ckpt):
             z = np.load(my_ckpt)
-            if bytes(z["stream"]).decode() == "table":
+            if bytes(z["stream"]).decode() == stream_tag:
+                ckpt.check_meta(z, meta, my_ckpt)
                 resumed = z
-    start_row = int(resumed["next_row"]) if resumed is not None else my_lo
-    start_row = max(start_row, my_lo)
-    n_tested_resumed = int(resumed["n_tested"]) if resumed is not None else 0
-
-    starts = [start_row]
-    if n_proc > 1:
-        from jax.experimental import multihost_utils
-        starts = list(np.asarray(multihost_utils.process_allgather(
-            np.int64(start_row))).ravel())
-    n_steps = max(1, max(-(-(e - max(s0, s)) // local_rows)
-                         for (s, e), s0 in zip(spans, starts)))
+    span_start = 0 if dt is not None else my_lo
+    start_row = int(resumed["next_row"]) if resumed is not None else span_start
+    start_row = max(start_row, span_start)
+    n_tested_local = int(resumed["n_tested"]) if resumed is not None else 0
 
     yp, ysum = score_ops.prepare_phenotypes(
         np.asarray(pheno_values, np.float32), n_pad)
     ypr, ysr = replicated(mesh, np.asarray(yp), np.asarray(ysum))
-    state = init_global_buffered_state(mesh, p, n_top, buf_cap=cand_c * 24)
+    state = init_global_buffered_state(mesh, p, k_eff, buf_cap=cand_c * 24)
     if resumed is not None:
         from ..ops import scanstep as _ss
         sh = NamedSharding(mesh, P(AXIS))
@@ -215,23 +297,54 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
             for f in _ss.BufferedTopKState._fields])
     step = shard_mod.build_sharded_scan_step_compact(
         mesh, n_used=n_used, min_count=min_count, kernel=kernel,
-        cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q)
+        cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
+        precision=score_precision)
 
-    batches = reader.iter_batches(local_rows, min_count,
-                                  start_row=start_row, end_row=my_hi)
-    n_tested_local = n_tested_resumed
+    if dt is not None:
+        batches = ((pl_, pc_, rw_, s_ + len(rw_)) for s_, pl_, pc_, rw_
+                   in dt.iter_batches(local_rows, start_row=start_row))
+    else:
+        batches = ((b.packed, b.popcnt, b.row_index,
+                    int(b.row_index[-1]) + 1) for b
+                   in reader.iter_batches(local_rows, min_count,
+                                          start_row=start_row,
+                                          end_row=my_hi))
+
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        def any_has_data(flag: bool) -> bool:
+            return bool(np.asarray(multihost_utils.process_allgather(
+                np.int8(flag))).any())
+    else:
+        def any_has_data(flag: bool) -> bool:
+            return flag
+
     next_pos = start_row
     step_i = 0
-    for _ in range(n_steps):
-        try:
-            b = next(batches)
-            bp, bpc, brows = b.packed, b.popcnt, b.row_index
-        except StopIteration:
+    exhausted = False
+    while True:
+        if exhausted:
             bp = np.zeros((0, reader.w32), np.uint32)
             bpc = np.zeros(0, np.float32)
             brows = np.zeros(0, np.int64)
+        else:
+            try:
+                bp, bpc, brows, bnext = next(batches)
+            except StopIteration:
+                exhausted = True
+                bp = np.zeros((0, reader.w32), np.uint32)
+                bpc = np.zeros(0, np.float32)
+                brows = np.zeros(0, np.int64)
         r = len(brows)
+        # dynamic lockstep termination: stop once EVERY process's stream is
+        # exhausted; processes that finish early keep dispatching padded
+        # empty shards so the SPMD step count stays identical everywhere
+        if not any_has_data(r > 0):
+            break
         n_tested_local += r
+        if r and patterns is not None:
+            patterns.add(np.ascontiguousarray(bp))
         packed = np.zeros((local_rows, reader.w32), np.uint32)
         packed[:r] = bp
         popcnt = np.zeros(local_rows, np.float32)
@@ -242,13 +355,15 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         gp, gpc, glo, ghi = make_global_batch(mesh,
                                               [packed, popcnt, lo, hi])
         state = step(state, gp, gpc, glo, ghi, ypr, ysr)
-        next_pos = int(brows[-1]) + 1 if r else next_pos
+        if r:
+            next_pos = bnext
         step_i += 1
         if my_ckpt and step_i % checkpoint_every == 0:
             blocks = _local_state_blocks(state)
             blocks.update(next_row=np.int64(next_pos),
                           n_tested=np.int64(n_tested_local),
-                          stream=np.bytes_(b"table"))
+                          stream=np.bytes_(stream_tag.encode()),
+                          **ckpt.meta_arrays(meta))
             tmp = my_ckpt + ".tmp.npz"
             np.savez(tmp, **blocks)
             import os as _os
@@ -257,13 +372,22 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
             progress(r)
 
     per_pheno = shard_mod.finalize_sharded_buffered(state, mesh)
+    per_pheno = [(sc[:first_phenotype_top if (j == 0 and first_phenotype_top)
+                     else n_top],
+                  rw[:first_phenotype_top if (j == 0 and first_phenotype_top)
+                     else n_top])
+                 for j, (sc, rw) in enumerate(per_pheno)]
+    n_patterns = None
+    if patterns is not None:
+        n_patterns = (_union_patterns_across_processes(patterns)
+                      if n_proc > 1 else patterns.count)
     if n_proc > 1:      # global MAC-passing count: one scalar allgather
         from jax.experimental import multihost_utils
         n_tested = int(multihost_utils.process_allgather(
             np.int64(n_tested_local)).sum())
     else:
         n_tested = n_tested_local
-    return per_pheno, n_tested
+    return per_pheno, n_tested, n_patterns
 
 
 def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
@@ -310,9 +434,14 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
 
     from ..pipeline import checkpoint as ckpt
     my_ckpt = f"{checkpoint_path}.p{pid}" if checkpoint_path else None
+    # topology fingerprint: resuming a span checkpoint under a different
+    # partitioning (or table) would double- or under-count rows silently —
+    # load_kinship_state refuses on mismatch (ADVICE r3)
+    meta = {"n_proc": n_proc, "span_lo": my_lo, "span_hi": my_hi,
+            "table_rows": reader.n_rows_total, "n_used": n_used}
     start_row = my_lo
     if my_ckpt:
-        resumed = ckpt.load_kinship_state(my_ckpt, stream="table")
+        resumed = ckpt.load_kinship_state(my_ckpt, stream="table", meta=meta)
         if resumed is not None:
             acc.total, acc.n_rows, start_row = resumed
             start_row = max(start_row, my_lo)
@@ -330,7 +459,7 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
             acc.flush()
             ckpt.save_kinship_state(my_ckpt, acc.total, acc.n_rows,
                                     int(batch.row_index[-1]) + 1,
-                                    stream="table")
+                                    stream="table", meta=meta)
         if progress is not None:
             progress(batch.n_rows)
     acc.flush()

@@ -58,19 +58,62 @@ def load_scan_state(path: str):
 
 
 def save_kinship_state(path: str, total: np.ndarray, n_rows: int,
-                       next_row: int, stream: str = "table") -> None:
+                       next_row: int, stream: str = "table",
+                       meta: dict | None = None) -> None:
     """`stream` tags which row numbering next_row refers to ("table" rows
-    or "dtable" cache rows) so a resume never mixes the two."""
+    or "dtable" cache rows) so a resume never mixes the two.
+
+    `meta`: topology/config fingerprint (int-valued dict, e.g. n_proc, the
+    owned span bounds, table n_rows). Stored alongside the state; a resume
+    that passes a different fingerprint is REFUSED (see load_kinship_state)
+    — resuming a span checkpoint under a different partitioning would
+    silently double- or under-count rows."""
+    extra = {}
+    if meta:
+        extra["meta_keys"] = np.array(sorted(meta), dtype="U32")
+        extra["meta_vals"] = np.array([int(meta[k]) for k in sorted(meta)],
+                                      dtype=np.int64)
     _atomic_savez(path, total=total, n_rows=np.int64(n_rows),
                   next_row=np.int64(next_row),
-                  stream=np.bytes_(stream.encode()))
+                  stream=np.bytes_(stream.encode()), **extra)
 
 
-def load_kinship_state(path: str, stream: str = "table"):
+def meta_arrays(meta: dict | None) -> dict:
+    """Topology fingerprint dict -> npz-storable arrays (see
+    save_kinship_state); {} when meta is None/empty."""
+    if not meta:
+        return {}
+    return {"meta_keys": np.array(sorted(meta), dtype="U32"),
+            "meta_vals": np.array([int(meta[k]) for k in sorted(meta)],
+                                  dtype=np.int64)}
+
+
+def check_meta(z, meta: dict | None, path: str) -> None:
+    """Raise if a checkpoint's stored fingerprint conflicts with `meta`.
+    Checkpoints written without a fingerprint (or loads that pass none)
+    skip the check for backward compatibility."""
+    if not meta or "meta_keys" not in getattr(z, "files", ()):
+        return
+    stored = dict(zip((str(k) for k in z["meta_keys"]),
+                      (int(v) for v in z["meta_vals"])))
+    bad = {k: (stored[k], int(v)) for k, v in meta.items()
+           if k in stored and stored[k] != int(v)}
+    if bad:
+        detail = ", ".join(f"{k}: checkpoint={a} run={b}"
+                           for k, (a, b) in bad.items())
+        raise ValueError(
+            f"checkpoint {path} was written under a different "
+            f"topology/config ({detail}); refusing to resume — delete the "
+            f"checkpoint files to restart clean")
+
+
+def load_kinship_state(path: str, stream: str = "table",
+                       meta: dict | None = None):
     if not os.path.exists(_norm(path)):
         return None
     z = np.load(_norm(path))
     tag = bytes(z["stream"]).decode() if "stream" in z else "table"
     if tag != stream:
         return None               # checkpoint from the other stream route
+    check_meta(z, meta, _norm(path))
     return z["total"], int(z["n_rows"]), int(z["next_row"])

@@ -109,12 +109,19 @@ def _stats_device():
     except RuntimeError:
         return contextlib.nullcontext()
     stack = contextlib.ExitStack()
-    try:
-        # scoped x64: a GLOBAL jax_enable_x64 flip would leak i64 into the
-        # Pallas scan kernel's index maps, which Mosaic cannot legalize
-        from jax._src.config import enable_x64
+    # scoped x64: a GLOBAL jax_enable_x64 flip would leak i64 into the
+    # Pallas scan kernel's index maps, which Mosaic cannot legalize.
+    # jax.enable_x64 is the public scoped context (jax >= 0.9); older
+    # versions had it under jax.experimental.
+    enable_x64 = getattr(jax, "enable_x64", None)
+    if enable_x64 is None:
+        try:
+            from jax.experimental import enable_x64
+        except ImportError:
+            enable_x64 = None
+    if enable_x64 is not None:
         stack.enter_context(enable_x64(True))
-    except ImportError:
+    else:
         import warnings
         warnings.warn("scoped x64 unavailable in this jax version; "
                       "REML/LMM statistics will run in float32",
@@ -299,16 +306,15 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
                            for j in grp])   # UNtransformed (kmers_gwas.py:152-160)
             if backend == "device32":
                 gp = np.stack([
-                    np.stack([result.pa_rows[int(r)]
-                              for r in result.rows[j]]) for j in grp]
-                ).reshape(len(grp), m, n64).view("<u4")
+                    np.asarray(result.pa_rows.take(result.rows[j]))
+                    for j in grp]).reshape(len(grp), m, n64).view("<u4")
                 res = lmm_mod.lmm_scan_columns_packed(
                     gp, ys, w_eig, U_eig, n=n,
                     n_grid=cfg.lmm_grid, n_refine=cfg.lmm_refine)
             else:
                 genos = np.stack([
-                    np.stack([_pa_bits(result.pa_rows[int(r)], n)
-                              for r in result.rows[j]]) for j in grp])
+                    _pa_bits_batch(np.asarray(result.pa_rows.take(
+                        result.rows[j])), n) for j in grp])
                 with _stats_device():
                     res = lmm_mod.lmm_scan_columns(genos, ys, w_eig, U_eig,
                                                    n_grid=cfg.lmm_grid,
@@ -381,6 +387,11 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
         "n_accessions": n, "heritability": tr.heritability,
         "threshold_5per": th5, "threshold_10per": th10,
         "n_tested": result.n_tested,
+        # result provenance: which exact-LMM backend produced the p-values
+        # ("auto" cuts over to the f32 device path above 2e8 variant-tests
+        # x samples; ~1e-3 relative deviation from the f64 route — see
+        # PARITY.md)
+        "lmm_backend": backend,
         "n_pass_5per": len(pass5), "n_pass_10per": len(pass10),
         "stage_seconds": {k: round(v, 3) for k, v in stage_seconds.items()},
     }, indent=2))
@@ -395,15 +406,25 @@ def _pa_bits(pa_words: np.ndarray, n: int) -> np.ndarray:
     return bits[:n].astype(np.float64)
 
 
+def _pa_bits_batch(pa_words: np.ndarray, n: int) -> np.ndarray:
+    """(m, n64) packed uint64 -> (m, n) float64 bit matrix, one unpack."""
+    if pa_words.size == 0:
+        return np.empty((pa_words.shape[0], n))
+    bits = np.unpackbits(np.ascontiguousarray(pa_words).view(np.uint8),
+                         axis=1, bitorder="little")
+    return bits[:, :n].astype(np.float64)
+
+
 def _write_assoc_txt(path, result, j, kmer_len, n, pvals, lam, beta):
     """GEMMA-compatible assoc.txt: 9 columns, p_lrt in column 9 — the layout
     the reference's awk post-processing consumes (functions.py:93-105)."""
     kk = result.kmers[j]
     strs = codec.decode_kmers(kk, kmer_len) if len(kk) else []
+    pa = np.asarray(result.pa_rows.take(result.rows[j][:len(strs)])) \
+        if len(strs) else np.empty((0, 0), "<u8")
+    afs = _pa_bits_batch(pa, n).mean(axis=1) if pa.size else np.zeros(len(strs))
     with open(path, "w") as f:
         f.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\tl_mle\tp_lrt\n")
         for i, s in enumerate(strs):
-            pa = result.pa_rows[int(result.rows[j][i])]
-            af = float(_pa_bits(pa, n).mean()) if pa.size else 0.0
-            f.write(f"0\t{s}_{i+1}\t0\t0\t1\t0\t{af:.6f}\t"
+            f.write(f"0\t{s}_{i+1}\t0\t0\t1\t0\t{afs[i]:.6f}\t"
                     f"{10**lam[i]:.6e}\t{pvals[i]:.6e}\n")

@@ -55,7 +55,8 @@ class ScanResult:
     kmers: list                     # per phenotype: (K,) uint64 codes
     n_tested: int                   # MAC-passing k-mers scored
     n_patterns: int | None = None   # unique presence/absence patterns
-    pa_rows: dict = field(default_factory=dict)  # row -> packed uint64 PA (used cols)
+    pa_rows: object = field(default_factory=dict)  # RowLookup: row -> packed
+                                    # uint64 PA words over the used columns
     timings: dict = field(default_factory=dict)  # sub-stage seconds: stream
                                     # (feed+dispatch loop), finalize (state
                                     # fetch + merge), fetch (winner rows)
@@ -132,6 +133,13 @@ class _PatternCounter:
     def count(self) -> int:
         self._compact()
         return len(self._sorted)
+
+    def sorted_hashes(self) -> np.ndarray:
+        """The full sorted distinct-hash array — the multi-process driver
+        allgathers these for the cross-span set union
+        (parallel/multihost._union_patterns_across_processes)."""
+        self._compact()
+        return self._sorted
 
 
 def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
@@ -223,10 +231,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                                    thresh=resumed_plain.scores[:, -1])
         put = jnp.asarray
 
+    dt = None
     if dtable_cache:
         from ..core import dtable as dt_mod
         import os
-        dt = None
         if os.path.exists(dtable_cache):
             dt = dt_mod.DTableReader(dtable_cache)
             if (dt.hdr.min_count != min_count
@@ -312,11 +320,13 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         per_pheno = topk_ops.finalize(ss.flush_buffered(state))
     timings["finalize"] = _time.perf_counter() - t_fin
 
-    # resolve winner rows -> k-mer codes + packed PA (random access, pass 2)
+    # resolve winner rows -> k-mer codes + packed PA: chunked-run reads from
+    # the dtable (pre-squeezed) when present, else the raw table (pass 2)
     t_fetch = _time.perf_counter()
     all_rows = np.unique(np.concatenate([rw for _, rw in per_pheno])
                          ) if per_pheno and any(len(rw) for _, rw in per_pheno) else np.empty(0, np.int64)
-    kmer_of_row, pa_of_row = fetch_rows(reader, all_rows)
+    kmer_of_row, pa_of_row = fetch_rows(reader, all_rows.astype(np.int64),
+                                        dt=dt)
     timings["fetch"] = _time.perf_counter() - t_fetch
 
     names = list(pheno_names)
@@ -326,7 +336,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         sc, rw = sc[:cap], rw[:cap]
         scores_out.append(sc)
         rows_out.append(rw)
-        kmers_out.append(np.array([kmer_of_row[r] for r in rw], dtype=np.uint64))
+        kmers_out.append(np.asarray(kmer_of_row.take(rw), dtype=np.uint64))
 
     return ScanResult(names=names, scores=scores_out, rows=rows_out,
                       kmers=kmers_out, n_tested=n_tested,
@@ -334,26 +344,104 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                       pa_rows=pa_of_row, timings=timings)
 
 
-def fetch_rows(reader: KmersTableReader, rows: np.ndarray):
-    """Random-access fetch of table rows -> ({row: kmer}, {row: packed PA}).
+class RowLookup:
+    """Vectorized row -> value map over SORTED row keys.
 
-    PA is returned as squeezed used-column uint64 words (ceil(n_used/64)),
-    ready for PLINK export.
-    """
+    Replaces the per-row Python dict build (and per-item lookups) of the
+    winner-fetch stage: construction is O(1) (the arrays are stored as-is),
+    bulk access is one searchsorted + gather (`take`), and scalar
+    `lookup[row]` stays dict-compatible for stragglers."""
+
+    __slots__ = ("rows", "values")
+
+    def __init__(self, rows: np.ndarray, values: np.ndarray):
+        self.rows = np.asarray(rows, np.int64)      # sorted ascending
+        self.values = values
+
+    def take(self, rows) -> np.ndarray:
+        """Values for an array of row ids (each must be present)."""
+        rows = np.asarray(rows, np.int64)
+        if len(rows) == 0:
+            return self.values[:0]
+        i = np.searchsorted(self.rows, rows)
+        if (i >= len(self.rows)).any() or (self.rows[np.minimum(
+                i, len(self.rows) - 1)] != rows).any():
+            missing = rows[(i >= len(self.rows))
+                           | (self.rows[np.minimum(i, len(self.rows) - 1)]
+                              != rows)]
+            raise KeyError(int(missing[0]))
+        return self.values[i]
+
+    def __getitem__(self, row):
+        return self.take(np.asarray([row]))[0]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __contains__(self, row):
+        i = np.searchsorted(self.rows, int(row))
+        return i < len(self.rows) and int(self.rows[i]) == int(row)
+
+
+def _gather_rows_chunked(mm2d, rows: np.ndarray, gap: int = 4096):
+    """Gather `rows` (sorted) from a memmapped 2-D table using contiguous
+    RUN reads: consecutive requested rows closer than `gap` are fetched with
+    one sequential slice (bridging small gaps is cheaper than extra seeks).
+    Dense winner sets (the common case after a big scan: ~1e6 winners over
+    1e8 rows) degenerate to a handful of large sequential reads — the
+    reference's pass-2 streaming access pattern
+    (src/associate_kmers.cpp:178-191) — instead of one page-faulting fancy
+    index per row."""
+    out = np.empty((len(rows), mm2d.shape[1]), dtype=mm2d.dtype)
     if len(rows) == 0:
-        return {}, {}
+        return out
+    splits = np.nonzero(np.diff(rows) > gap)[0] + 1
+    o = 0
+    for seg in np.split(rows, splits):
+        lo, hi = int(seg[0]), int(seg[-1]) + 1
+        blk = np.asarray(mm2d[lo:hi])
+        out[o:o + len(seg)] = blk[seg - lo]
+        o += len(seg)
+    return out
+
+
+def fetch_rows(reader: KmersTableReader, rows: np.ndarray, dt=None):
+    """Fetch winner table rows -> (RowLookup kmers, RowLookup packed-PA).
+
+    PA values are squeezed used-column uint64 words (ceil(n_used/64)),
+    ready for PLINK export. `rows` must be sorted unique absolute .table
+    row indices.
+
+    dt: optional core.dtable.DTableReader already holding the same
+    accession subset — winners are then resolved from the dtable's
+    pre-squeezed planes (no raw-table reads, no squeeze work), keyed back
+    through its src_rows section."""
+    rows = np.asarray(rows, np.int64)
+    n64 = (reader.n_used + 63) // 64
+    if len(rows) == 0:
+        empty = RowLookup(rows, np.empty((0, n64), "<u8"))
+        return RowLookup(rows, np.empty(0, np.uint64)), empty
+    if dt is not None:
+        src = dt.src_rows
+        idx = np.searchsorted(src, rows)
+        if (idx < len(src)).all() and \
+                (np.asarray(src[np.minimum(idx, len(src) - 1)]) == rows).all():
+            kmers = _gather_rows_chunked(dt.kmers[:, None], idx)[:, 0]
+            planes = _gather_rows_chunked(dt.planes, idx)
+            pa = np.ascontiguousarray(planes).view("<u8")[:, :n64]
+            return (RowLookup(rows, kmers.astype(np.uint64)),
+                    RowLookup(rows, np.ascontiguousarray(pa)))
+        # else: dtable doesn't cover these rows (stale) — fall through
     wf = reader.header.row_words()
     mm = np.memmap(reader.base + ".table", dtype="<u8", mode="r",
                    offset=formats.TableHeader.HEADER_BYTES)
-    raw = mm.reshape(-1, 1 + wf)[rows]
+    raw = _gather_rows_chunked(mm.reshape(-1, 1 + wf), rows)
     bits = reader.squeeze_bits(raw)
-    n64 = (reader.n_used + 63) // 64
     padded = np.zeros((len(rows), n64 * 64), dtype=np.uint8)
     padded[:, : reader.n_used] = bits
     pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
-    kmer_of_row = {int(r): int(k) for r, k in zip(rows, raw[:, 0])}
-    pa_of_row = {int(r): pa[i] for i, r in enumerate(rows)}
-    return kmer_of_row, pa_of_row
+    return (RowLookup(rows, raw[:, 0].astype(np.uint64)),
+            RowLookup(rows, pa))
 
 
 def export_plink(result: ScanResult, reader_n_used: int, kmer_len: int,
@@ -375,5 +463,6 @@ def export_plink(result: ScanResult, reader_n_used: int, kmer_len: int,
             kstrs = codec.decode_kmers(
                 np.asarray(result.kmers[j], np.uint64)[order], kmer_len)
             names = [f"{ks}_{rank[idx]}" for ks, idx in zip(kstrs, order)]
-            pa = np.stack([result.pa_rows[int(rows[idx])] for idx in order])
+            pa = np.asarray(result.pa_rows.take(
+                np.asarray(rows)[order]))
             w.write_variants(names, pa, reader_n_used)

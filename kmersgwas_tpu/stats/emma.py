@@ -433,12 +433,20 @@ def emma_ML_LRT(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
                 r = run_rows(yj, xs[_np.flatnonzero(clean)][:, vids], Kj, X0j)
                 for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
                     o[clean] = _np.asarray(v)[:, 0]
-            for i in _np.flatnonzero(~clean):         # NA variants: subset each
-                vv = vids & ~xs_na[i]
-                r = run_rows(ys[j, vv][None, :], xs[i, vv][None, :],
+            # NA variants: R subsets per variant (emma.R:683-691). Variants
+            # sharing an identical NA mask share one eigendecomposition and
+            # one vmapped call — a dataset where most variants carry the
+            # same missing individuals no longer degrades to a Python loop
+            groups: dict = {}
+            for i in _np.flatnonzero(~clean):
+                groups.setdefault((vids & ~xs_na[i]).tobytes(), []).append(i)
+            for key, idxs in groups.items():
+                vv = _np.frombuffer(key, dtype=bool)
+                r = run_rows(ys[j, vv][None, :],
+                             xs[_np.asarray(idxs)][:, vv],
                              K[_np.ix_(vv, vv)], X0[vv])
-                o_ml1[i], o_vg[i], o_ve[i], o_ml0[i] = (
-                    float(_np.asarray(v)[0, 0]) for v in r)
+                for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
+                    o[idxs] = _np.asarray(v)[:, 0]
             cols.append((o_ml1, o_vg, o_ve, o_ml0))
         ml1, vg, ve, ml0 = (jnp.asarray(_np.stack([c[t] for c in cols], axis=1),
                                         dt) for t in range(4))
@@ -524,14 +532,19 @@ def emma_REML_t(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
                 for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
                     o[clean, j] = _np.asarray(v)[:, 0]
                 o_dfs[clean, j] = int(vids.sum()) - q1
+            # NA variants grouped by identical NA mask (see emma_ML_LRT)
+            groups: dict = {}
             for i in _np.flatnonzero(~clean):
-                vv = vids & ~xs_na[i]
-                r = _reml_t_complete(ys[j, vv][None, :], xs[i, vv][None, :],
+                groups.setdefault((vids & ~xs_na[i]).tobytes(), []).append(i)
+            for key, idxs in groups.items():
+                vv = _np.frombuffer(key, dtype=bool)
+                r = _reml_t_complete(ys[j, vv][None, :],
+                                     xs[_np.asarray(idxs)][:, vv],
                                      K[_np.ix_(vv, vv)], X0[vv], llim, ulim,
                                      ngrids, n_bisect)
-                o_stat[i, j], o_vg[i, j], o_ve[i, j], o_reml[i, j] = (
-                    float(_np.asarray(v)[0, 0]) for v in r)
-                o_dfs[i, j] = int(vv.sum()) - q1
+                for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
+                    o[idxs, j] = _np.asarray(v)[:, 0]
+                o_dfs[idxs, j] = int(vv.sum()) - q1
         stat, vg, ve, reml, dfs = (jnp.asarray(o, dt) for o in
                                    (o_stat, o_vg, o_ve, o_reml, o_dfs))
 

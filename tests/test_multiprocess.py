@@ -335,7 +335,8 @@ def test_distributed_scan_single_process_checkpoint(tmp_path):
     from kmersgwas_tpu.pipeline import scan as scan_mod
 
     rng = np.random.default_rng(81)
-    rows, n, p, k, kmer_len = 400, 20, 2, 15, 15
+    # >= 3 global steps even on the 8-virtual-device mesh (quantum 1024)
+    rows, n, p, k, kmer_len = 3000, 20, 2, 15, 15
     names = [f"a{i}" for i in range(n)]
     kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
                     ).astype(np.uint64)
@@ -355,12 +356,75 @@ def test_distributed_scan_single_process_checkpoint(tmp_path):
     ck = str(tmp_path / "sck")
     kw = dict(kmer_len=kmer_len, n_top=k, maf=0.05, mac=2, batch_size=64,
               checkpoint_path=ck, checkpoint_every=1)
-    per1, n1 = multihost.run_distributed_scan(base, names, y, ["a", "b"],
-                                              **kw)
+    per1, n1, _ = multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                                 **kw)
     assert os.path.exists(ck + ".p0.npz")
-    per2, n2 = multihost.run_distributed_scan(base, names, y, ["a", "b"],
-                                              **kw)
+
+    # MID-STREAM interruption: a fresh run killed (via the progress hook)
+    # after 3 of ~7 batches leaves a mid-stream checkpoint; the resumed run
+    # must re-stream only the tail and reproduce both the top-k AND the
+    # exact n_tested (no double-counting in the n_tested accumulation)
+    ck2 = str(tmp_path / "sck2")
+    kw2 = dict(kw, checkpoint_path=ck2)
+    calls = [0]
+
+    class _Interrupt(Exception):
+        pass
+
+    def bomb(r):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise _Interrupt
+
+    try:
+        multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                       progress=bomb, **kw2)
+        raise AssertionError("interruption did not fire")
+    except _Interrupt:
+        pass
+    assert os.path.exists(ck2 + ".p0.npz")
+    mid = np.load(ck2 + ".p0.npz")
+    assert int(mid["next_row"]) < rows       # genuinely mid-stream
+    per2, n2, _ = multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                                 **kw2)
     for per, nt in ((per1, n1), (per2, n2)):
+        assert nt == ref.n_tested          # no double-counting on resume
         for j in range(p):
             np.testing.assert_array_equal(per[j][1], ref.rows[j])
             np.testing.assert_allclose(per[j][0], ref.scores[j], rtol=1e-6)
+
+
+def test_distributed_scan_checkpoint_topology_mismatch(tmp_path):
+    """A checkpoint written under one topology/config must be REFUSED when
+    resumed under another (different n_top changes the state shape and
+    different n_proc changes the span): silent clamping would skip rows."""
+    import pytest
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.parallel import multihost
+
+    rng = np.random.default_rng(91)
+    rows, n, p, kmer_len = 200, 16, 2, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, p))
+
+    ck = str(tmp_path / "tck")
+    multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                   kmer_len=kmer_len, n_top=10, maf=0.05,
+                                   mac=2, batch_size=64, checkpoint_path=ck,
+                                   checkpoint_every=1)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                       kmer_len=kmer_len, n_top=12, maf=0.05,
+                                       mac=2, batch_size=64,
+                                       checkpoint_path=ck)
