@@ -67,6 +67,70 @@ def _add_gwas(sub):
     p.set_defaults(func=run)
 
 
+def _add_gwas_mp(sub):
+    p = sub.add_parser(
+        "gwas-mp",
+        help="ONE-COMMAND multi-host GWAS: run this same command once per "
+             "host with a shared coordinator; distributed kinship + "
+             "process-0 transform broadcast + distributed scan + exact LMM "
+             "and thresholds written by process 0 "
+             "(pipeline.gwas.run_distributed_gwas)")
+    p.add_argument("--pheno", required=True)
+    p.add_argument("--kmers_table", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("-l", "--kmer_len", type=int, required=True)
+    p.add_argument("-k", "--kmers_number", type=int, default=10001)
+    p.add_argument("--permutations", type=int, default=100)
+    p.add_argument("--maf", type=float, default=0.05)
+    p.add_argument("--mac", type=int, default=5)
+    p.add_argument("--min_data_points", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=2_000_000)
+    p.add_argument("--pattern_counter", action="store_true")
+    p.add_argument("--kinship", default=None, help="precomputed kinship TSV")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--dtable_cache", default=None,
+                   help="base path for per-process device-native table caches")
+    p.add_argument("--kmers_for_no_perm_phenotype", type=int, default=None,
+                   dest="n_extra_phenotype_kmers")
+    p.add_argument("--dont_remove_intermediates", action="store_true")
+    p.add_argument("--lmm_backend", default="auto",
+                   choices=["auto", "host64", "device32"])
+    p.add_argument("--checkpoint", default=None,
+                   help="base path for resumable per-process kinship/scan "
+                        "checkpoints (<base>.kin.p<pid> / <base>.scan.p<pid>)")
+    p.add_argument("--coordinator", required=True,
+                   help="host:port of process 0")
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--process_id", type=int, required=True)
+
+    def run(a):
+        from ..parallel import multihost
+        from ..pipeline.gwas import GWASConfig, run_distributed_gwas
+        multihost.init_distributed(coordinator_address=a.coordinator,
+                                   num_processes=a.num_processes,
+                                   process_id=a.process_id)
+        res = run_distributed_gwas(GWASConfig(
+            pheno_path=a.pheno, kmers_table=a.kmers_table, outdir=a.outdir,
+            kmer_len=a.kmer_len, n_kmers=a.kmers_number,
+            n_permutations=a.permutations, maf=a.maf, mac=a.mac,
+            min_data_points=a.min_data_points, batch_size=a.batch_size,
+            pattern_counter=a.pattern_counter, kinship_path=a.kinship,
+            seed=a.seed, use_pallas=True if a.pallas else "auto",
+            dtable_cache=a.dtable_cache,
+            n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
+            remove_intermediates=not a.dont_remove_intermediates,
+            lmm_backend=a.lmm_backend, checkpoint_base=a.checkpoint))
+        if res is not None:
+            th5 = res.thresholds.get("5per")
+            print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "
+                  f"pass_5per={len(res.pass_5per)} tested={res.n_tested}")
+        else:
+            print(f"process {a.process_id}: scan complete "
+                  "(process 0 writes the results)")
+    p.set_defaults(func=run)
+
+
 def _native_or_none():
     """The C++ ingest library, or None to use the NumPy route."""
     from .. import native
@@ -496,7 +560,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="kmersgwas_tpu",
                                  description="TPU-native k-mer GWAS toolkit")
     sub = ap.add_subparsers(dest="command", required=True)
-    for add in (_add_gwas, _add_count, _add_strand_merge, _add_list_kmers,
+    for add in (_add_gwas, _add_gwas_mp, _add_count, _add_strand_merge,
+                _add_list_kmers,
                 _add_build_table, _add_associate, _add_associate_mp,
                 _add_kinship, _add_kinship_mp,
                 _add_kinship_bed, _add_associate_snps, _add_table_to_bed,

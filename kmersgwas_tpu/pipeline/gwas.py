@@ -78,6 +78,9 @@ class GWASConfig:
     n_devices: int | None = None        # >1: shard the scan AND kinship over
                                         # a k-mer-axis device mesh
                                         # (parallel/sharding.py)
+    checkpoint_base: str | None = None  # base path for resumable kinship/scan
+                                        # checkpoints (<base>.kin / <base>.scan;
+                                        # per-process suffixes in gwas-mp)
 
 
 @dataclass
@@ -187,7 +190,9 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             # filter matches (kinship_from_table validates and falls back)
             K_full = kinship_mod.kinship_from_table(
                 cfg.kmers_table, maf=cfg.kinship_maf,
-                dtable_cache=cfg.dtable_cache, mesh=mesh)
+                dtable_cache=cfg.dtable_cache, mesh=mesh,
+                checkpoint_path=(cfg.checkpoint_base + ".kin"
+                                 if cfg.checkpoint_base else None))
         kin_names = table_names
         kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
 
@@ -244,7 +249,21 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf, mac=cfg.mac,
             batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
             use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
-            first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh)
+            first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh,
+            checkpoint_path=(cfg.checkpoint_base + ".scan"
+                             if cfg.checkpoint_base else None))
+    return _post_scan_stages(cfg, out, kmers_dir, result, tr, used, K, n,
+                             log, log_lines, stage_seconds)
+
+
+def _post_scan_stages(cfg: GWASConfig, out: Path, kmers_dir: Path, result,
+                      tr, used, K, n: int, log, log_lines,
+                      stage_seconds) -> GWASResult:
+    """Stages 5-6 of the pipeline (exact LMM on candidates, permutation
+    thresholds, pass files, cleanup, summary) — shared verbatim between the
+    single-process `run_gwas` and the multi-host `run_distributed_gwas`
+    (process 0 runs this on the merged candidates), so the two products
+    write byte-identical artifacts from identical candidates."""
     (kmers_dir / "pheno.tested_kmers").write_text(f"{result.n_tested}\n")
     for sub, v in result.timings.items():
         stage_seconds[f"scan.{sub}"] = v
@@ -378,7 +397,10 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             (output_dir / f"{name}.assoc.txt").unlink(missing_ok=True)
         src = output_dir / "phenotype_value.assoc.txt"
         if src.exists():
-            with open(src, "rb") as fi, gzip.open(str(src) + ".gz", "wb") as fo:
+            # mtime=0: identical content -> identical .gz bytes (runs are
+            # reproducible and mp/single artifacts byte-comparable)
+            with open(src, "rb") as fi, open(str(src) + ".gz", "wb") as fz, \
+                    gzip.GzipFile(fileobj=fz, mode="wb", mtime=0) as fo:
                 shutil.copyfileobj(fi, fo)
             src.unlink()
 
@@ -428,3 +450,169 @@ def _write_assoc_txt(path, result, j, kmer_len, n, pvals, lam, beta):
         for i, s in enumerate(strs):
             f.write(f"0\t{s}_{i+1}\t0\t0\t1\t0\t{afs[i]:.6f}\t"
                     f"{10**lam[i]:.6e}\t{pvals[i]:.6e}\n")
+
+
+def run_distributed_gwas(cfg: GWASConfig):
+    """ONE-COMMAND multi-host GWAS (the distributed `kmers_gwas.py`):
+    every participating process calls this in lockstep AFTER
+    `parallel.multihost.init_distributed()`. Composition, matching the
+    reference orchestrator stage for stage (/root/reference/kmers_gwas.py:50-274):
+
+      1-2. phenotype load/averaging + accession intersection (all processes,
+           deterministic host work)
+      2b.  kinship: precomputed if available, else the DISTRIBUTED kinship
+           (each process accumulates its k-mer span; process 0 persists it)
+      3.   REML + covariance-preserving permutations + GRAMMAR transform on
+           process 0, broadcast to all (bitwise-identical scan inputs
+           everywhere — CPUs may differ across hosts, so nothing numeric is
+           recomputed per host)
+      4.   DISTRIBUTED association scan (full feature set: dtable caches,
+           pattern counter, first_phenotype_top, score precision)
+      5-6. exact LMM + permutation thresholds + pass/summary artifacts on
+           process 0 via the SAME `_post_scan_stages` as single-process
+           `run_gwas` — identical candidates produce identical artifacts.
+
+    Returns the GWASResult on process 0, None on the others (they return
+    right after the scan's finalize collective; no further collectives run).
+
+    `cfg.checkpoint_base` makes both long stages resumable per process
+    (`<base>.kin.p<pid>` / `<base>.scan.p<pid>`), fingerprint-guarded
+    against topology changes.
+
+    SNP-arm options are single-process only (run them with `run_gwas`)."""
+    import time as _time
+    import contextlib
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..parallel import multihost
+    from .scan import ScanResult, fetch_rows
+    from ..core.table import KmersTableReader
+
+    if cfg.run_snps or cfg.kinship_snps or not cfg.run_kmers:
+        raise ValueError("the SNP arm is single-process only; use run_gwas")
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    out = Path(cfg.outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    log_lines = []
+    stage_seconds = {}
+
+    def log(msg):
+        log_lines.append(str(msg))
+
+    @contextlib.contextmanager
+    def stage(name):
+        t0 = _time.perf_counter()
+        yield
+        dt = _time.perf_counter() - t0
+        stage_seconds[name] = stage_seconds.get(name, 0.0) + dt
+        log(f"[stage] {name}: {dt:.2f}s")
+
+    # 1. phenotype: load + average duplicate accessions (deterministic)
+    pheno = formats.read_phenotypes(cfg.pheno_path)
+    accs, vals = average_phenotypes(pheno.accessions, pheno.values[:, 0])
+    table_names = formats.read_names(cfg.kmers_table)
+
+    # 2. kinship: precomputed > cached beside the table > distributed
+    if cfg.kinship_path:
+        K_full = kinship_mod.read_kinship(cfg.kinship_path)
+    elif os.path.exists(cfg.kmers_table + ".kinship"):
+        K_full = kinship_mod.read_kinship(cfg.kmers_table + ".kinship")
+    else:
+        log("computing kinship from k-mers table (distributed)")
+        with stage("kinship"):
+            K_full = multihost.run_distributed_kinship(
+                cfg.kmers_table, maf=cfg.kinship_maf,
+                checkpoint_path=(cfg.checkpoint_base + ".kin"
+                                 if cfg.checkpoint_base else None))
+        if pid == 0:
+            kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
+    kin_names = table_names
+
+    used, y, K = intersect_accessions(accs, vals, kin_names, K_full,
+                                      table_names)
+    n = len(used)
+    if n < cfg.min_data_points:
+        if pid == 0:
+            (out / "NOT_ENOUGH_DATA").touch()
+        raise ValueError(
+            f"only {n} phenotyped accessions (< {cfg.min_data_points})")
+    if pid == 0:
+        np.savetxt(out / "pheno.kinship", K, delimiter="\t")
+        formats.write_phenotypes(
+            out / "pheno.phenotypes", formats.PhenotypeTable(
+                names=["phenotype_value"], accessions=used, values=y[:, None]))
+
+    # 3. transform + permutations on process 0, broadcast: hosts with
+    # different CPUs/BLAS must still feed bitwise-identical columns to the
+    # scan, so the numeric stage runs exactly once
+    with stage("transform"):
+        if pid == 0:
+            with _stats_device():
+                tr0 = transform_mod.transform_and_permute(
+                    y, K, cfg.n_permutations, seed=cfg.seed)
+            payload = (tr0.phenotypes, tr0.transformed,
+                       np.array([tr0.vg, tr0.ve, tr0.heritability]))
+        else:
+            z = np.zeros((n, 1 + cfg.n_permutations))
+            payload = (z, z.copy(), np.zeros(3))
+        if n_proc > 1:
+            # bit-cast f64 -> uint32 for the broadcast: without jax_enable_x64
+            # the device round-trip would silently truncate to f32, and the
+            # scan inputs/artifacts must be bitwise process-0 values
+            u32 = tuple(np.ascontiguousarray(a).view(np.uint32)
+                        for a in payload)
+            wire = multihost_utils.broadcast_one_to_all(u32)
+            payload = tuple(np.ascontiguousarray(np.asarray(o)).view(
+                np.float64) for o in wire)
+        phen, transf, vvh = (np.asarray(a) for a in payload)
+        names = ["phenotype_value"] + [f"P{i}"
+                                       for i in range(1, cfg.n_permutations + 1)]
+        tr = transform_mod.TransformResult(
+            vg=float(vvh[0]), ve=float(vvh[1]), heritability=float(vvh[2]),
+            names=names, phenotypes=phen, transformed=transf)
+    log(f"EMMA vg={tr.vg} ve={tr.ve} herit={tr.heritability}")
+    if pid == 0:
+        formats.write_phenotypes(out / "pheno.phenotypes_and_permutations",
+                                 formats.PhenotypeTable(tr.names, used,
+                                                        tr.phenotypes))
+        formats.write_phenotypes(
+            out / "pheno.phenotypes_permuted_transformed",
+            formats.PhenotypeTable(tr.names, used, tr.transformed))
+
+    # 4. distributed association scan
+    kmers_dir = out / "kmers"
+    kmers_dir.mkdir(exist_ok=True)
+    with stage("scan"):
+        per_pheno, n_tested, n_patterns = multihost.run_distributed_scan(
+            cfg.kmers_table, used, tr.transformed, tr.names,
+            kmer_len=cfg.kmer_len, n_top=cfg.n_kmers, maf=cfg.maf,
+            mac=cfg.mac, batch_size=cfg.batch_size,
+            use_pallas=cfg.use_pallas,
+            first_phenotype_top=cfg.n_extra_phenotype_kmers,
+            count_patterns=cfg.pattern_counter,
+            dtable_cache=cfg.dtable_cache,
+            checkpoint_path=(cfg.checkpoint_base + ".scan"
+                             if cfg.checkpoint_base else None))
+    if pid != 0:
+        return None     # candidates are replicated; one writer is enough
+
+    # 5-6. winners + exact LMM + thresholds on process 0 — identical code
+    # path to single-process run_gwas
+    reader = KmersTableReader(cfg.kmers_table, names_to_use=used)
+    all_rows = (np.unique(np.concatenate([rw for _, rw in per_pheno]))
+                if any(len(rw) for _, rw in per_pheno)
+                else np.empty(0, np.int64))
+    kmer_of_row, pa_of_row = fetch_rows(reader, all_rows.astype(np.int64))
+    result = ScanResult(
+        names=list(tr.names),
+        scores=[np.asarray(sc, np.float64) for sc, _ in per_pheno],
+        rows=[np.asarray(rw, np.int64) for _, rw in per_pheno],
+        kmers=[np.asarray(kmer_of_row.take(rw), np.uint64)
+               for _, rw in per_pheno],
+        n_tested=n_tested, n_patterns=n_patterns, pa_rows=pa_of_row)
+    return _post_scan_stages(cfg, out, kmers_dir, result, tr, used, K, n,
+                             log, log_lines, stage_seconds)

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 LOG_LMIN, LOG_LMAX = -5.0, 5.0   # log10 lambda bounds, as GEMMA's defaults
-_GOLD = 0.5 * (3.0 - jnp.sqrt(5.0))
+# plain Python float: a jnp op here would initialize the XLA backend
+# at import time, breaking jax.distributed.initialize() in mp drivers
+_GOLD = 0.5 * (3.0 - 5.0 ** 0.5)
 
 
 class LMMResult(NamedTuple):

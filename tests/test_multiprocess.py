@@ -428,3 +428,100 @@ def test_distributed_scan_checkpoint_topology_mismatch(tmp_path):
                                        kmer_len=kmer_len, n_top=12, maf=0.05,
                                        mac=2, batch_size=64,
                                        checkpoint_path=ck)
+
+
+@pytest.mark.slow
+def test_two_process_gwas_mp_cli(tmp_path):
+    """The ONE-COMMAND multi-host GWAS (CLI `gwas-mp` ->
+    pipeline.gwas.run_distributed_gwas): two jax.distributed processes run
+    the full pipeline (distributed kinship -> process-0 transform broadcast
+    -> distributed scan -> exact LMM + thresholds on process 0); every
+    result artifact written by process 0 must be BYTE-IDENTICAL to a
+    single-process `run_gwas` over the same table and phenotype."""
+    from kmersgwas_tpu.core import formats
+
+    rng = np.random.default_rng(77)
+    rows, n, kmer_len = 800, 32, 15
+    names = [f"acc{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=n)
+    pheno_path = str(tmp_path / "t.pheno")
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=["phenotype_value"], accessions=names, values=y[:, None]))
+
+    port = _free_port()
+    import kmersgwas_tpu
+    env = {k_: v for k_, v in os.environ.items()
+           if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        kmersgwas_tpu.__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    mp_out = tmp_path / "mp_out"
+    args = ["--pheno", pheno_path, "--kmers_table", base,
+            "--outdir", str(mp_out), "-l", str(kmer_len), "-k", "12",
+            "--permutations", "16", "--maf", "0.05", "--mac", "2",
+            "--batch_size", "128", "--min_data_points", "10",
+            "--pattern_counter", "--seed", "0",
+            "--coordinator", f"127.0.0.1:{port}", "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "gwas-mp",
+         *args, "--process_id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    outs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        outs.append(out.decode(errors="replace"))
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out[-4000:]
+    # the distributed kinship stage persisted its result beside the table
+    assert os.path.exists(base + ".kinship")
+
+    # single-process reference over the SAME table via the same CLI in a
+    # subprocess with the SAME backend env (the pytest process's forced
+    # 8-virtual-device CPU backend partitions eigh differently at the last
+    # ulp); it picks up the (losslessly round-tripping) kinship TSV the mp
+    # run wrote
+    sp_out = tmp_path / "sp_out"
+    sp = subprocess.run(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "gwas",
+         "--pheno", pheno_path, "--kmers_table", base,
+         "--outdir", str(sp_out), "-l", str(kmer_len), "-k", "12",
+         "--permutations", "16", "--maf", "0.05", "--mac", "2",
+         "--batch_size", "128", "--min_data_points", "10",
+         "--pattern_counter", "--seed", "0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=420)
+    assert sp.returncode == 0, sp.stdout.decode(errors="replace")[-4000:]
+
+    identical = [
+        "pheno.kinship", "pheno.phenotypes",
+        "pheno.phenotypes_and_permutations",
+        "pheno.phenotypes_permuted_transformed",
+        "kmers/pheno.tested_kmers", "kmers/pheno.pattern_counter",
+        "kmers/threshold_5per", "kmers/threshold_10per",
+        "kmers/best_pvals", "kmers/pass_threshold_5per",
+        "kmers/pass_threshold_10per",
+        "kmers/pheno.0.phenotype_value.bed",
+        "kmers/pheno.0.phenotype_value.bim",
+        "kmers/pheno.0.phenotype_value.fam",
+        "kmers/output/phenotype_value.assoc.txt.gz",
+    ]
+    for rel in identical:
+        a = (mp_out / rel).read_bytes()
+        b = (sp_out / rel).read_bytes()
+        assert a == b, f"artifact differs between gwas-mp and gwas: {rel}"
