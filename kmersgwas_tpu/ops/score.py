@@ -77,15 +77,31 @@ def score_batch(packed, popcnt, y_padded, y_sum, *, n_used: int, min_count: int)
 # the GEMM emits scores directly in (P, R) — the exact layout the blocked
 # top-k consumes, so the scan step does zero relayouts.
 
+def _unpack_dot_t(w, yt, prec):
+    """(W32, TR) packed words x (P_pad, N_pad) yt -> yigi (P_pad, TR).
+
+    prec "bf16": unpack the 0/1 genotype bits straight to bfloat16 and run
+    the native bf16 x bf16 -> f32 MXU contract. Scores are BIT-IDENTICAL to
+    prec "default" (which rounds both f32 operands to bf16 before the same
+    contract; 0/1 are exact in bf16) while the unpacked g matrix is half
+    the VMEM bytes — less VPU/store work per tile. Other values pass
+    through to jnp.dot(precision=...)."""
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
+    # Mosaic has no uint32->float cast; hop through int32
+    if prec == "bf16":
+        g = bits.astype(jnp.int32).astype(jnp.bfloat16).reshape(
+            -1, w.shape[1])
+        return jnp.dot(yt.astype(jnp.bfloat16), g,
+                       preferred_element_type=jnp.float32)
+    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
+    return jnp.dot(yt, g, preferred_element_type=jnp.float32, precision=prec)
+
+
 def _score_t_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, out_ref,
                     *, n_used: int, min_count: int, prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
-    # Mosaic has no uint32->f32 cast; hop through int32
-    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
-                   precision=prec)
+    yigi = _unpack_dot_t(w, yt_ref[...], prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
@@ -141,11 +157,7 @@ def _score_t_bmax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref,
                          out_ref, bmax_ref, *, n_used: int, min_count: int,
                          block: int, prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
-    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
-                   precision=prec)
+    yigi = _unpack_dot_t(w, yt_ref[...], prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
@@ -225,11 +237,7 @@ def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
                             cnt_ref, *, n_used: int, min_count: int,
                             prec: str = "default"):
     w = packed_ref[...]                                   # (W32, TR) uint32
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-    bits = (w[:, None, :] >> shifts) & jnp.uint32(1)      # (W32, 32, TR)
-    g = bits.astype(jnp.int32).astype(jnp.float32).reshape(-1, w.shape[1])
-    yigi = jnp.dot(yt_ref[...], g, preferred_element_type=jnp.float32,
-                   precision=prec)
+    yigi = _unpack_dot_t(w, yt_ref[...], prec)
     n = jnp.float32(n_used)
     n1 = pop_ref[...]                                     # (1, TR)
     r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
