@@ -426,6 +426,9 @@ def _add_kinship_mp(sub):
     p.add_argument("--batch_size", type=int, default=1 << 20)
     p.add_argument("-o", "--output", required=True,
                    help="kinship TSV (written by process 0)")
+    p.add_argument("--dtable_cache", default=None,
+                   help="base path for the per-process device-native table "
+                        "cache (<base>.mc<minc>.p<pid>of<nproc>)")
     p.add_argument("--coordinator", required=True)
     p.add_argument("--num_processes", type=int, required=True)
     p.add_argument("--process_id", type=int, required=True)
@@ -440,6 +443,7 @@ def _add_kinship_mp(sub):
                                    process_id=a.process_id)
         K = multihost.run_distributed_kinship(a.kmers_table, maf=a.maf,
                                               batch_size=a.batch_size,
+                                              dtable_cache=a.dtable_cache,
                                               checkpoint_path=a.checkpoint)
         if a.process_id == 0:
             km.write_kinship(a.output, K)

@@ -143,6 +143,34 @@ def _local_state_blocks(state):
     return out
 
 
+def _span_dtable(table_base: str, cache_base: str, names_to_use,
+                 min_count: int, n_used: int, pid: int, n_proc: int,
+                 span_lo: int, span_hi: int, rebuild_stale: bool = True):
+    """Per-process device-native cache of this host's k-mer span, built on
+    first use. Multi-process caches carry the filter AND the topology in
+    the filename (`<base>.mc<min_count>.p<pid>of<nproc>`) so the kinship
+    stage (MAF-only filter) and the scan stage (MAC filter) of one
+    `gwas-mp` run never clobber each other's caches, and a resized cluster
+    gets fresh span caches instead of silently mis-spanned ones."""
+    import os as _os
+    from ..core import dtable as dt_mod
+    my_cache = (f"{cache_base}.mc{min_count}.n{n_used}.p{pid}of{n_proc}"
+                if n_proc > 1 else str(cache_base))
+    if _os.path.exists(my_cache):
+        dt = dt_mod.DTableReader(my_cache)
+        if dt.hdr.min_count == min_count and dt.hdr.n_used == n_used:
+            return dt
+        # stale cache for a different filter/subset: the plain-named
+        # (single-process) cache may belong to another stage — leave it
+        # alone unless the caller owns it (kinship_from_table semantics)
+        if not rebuild_stale:
+            return None
+    dt_mod.build_dtable(table_base, my_cache, names_to_use=names_to_use,
+                        min_count=min_count,
+                        start_row=span_lo, end_row=span_hi)
+    return dt_mod.DTableReader(my_cache)
+
+
 def _union_patterns_across_processes(patterns) -> int:
     """Cross-process union of per-process distinct pattern-hash sets.
 
@@ -256,20 +284,8 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
 
     dt = None
     if dtable_cache:
-        import os as _os
-        from ..core import dtable as dt_mod
-        my_cache = (f"{dtable_cache}.p{pid}of{n_proc}" if n_proc > 1
-                    else str(dtable_cache))
-        if _os.path.exists(my_cache):
-            dt = dt_mod.DTableReader(my_cache)
-            if dt.hdr.min_count != min_count or dt.hdr.n_used != n_used:
-                dt = None            # stale cache for a different filter
-        if dt is None:
-            dt_mod.build_dtable(table_base, my_cache,
-                                names_to_use=pheno_accessions,
-                                min_count=min_count,
-                                start_row=my_lo, end_row=my_hi)
-            dt = dt_mod.DTableReader(my_cache)
+        dt = _span_dtable(table_base, dtable_cache, pheno_accessions,
+                          min_count, n_used, pid, n_proc, my_lo, my_hi)
 
     my_ckpt = f"{checkpoint_path}.p{pid}.npz" if checkpoint_path else None
     resumed = None
@@ -392,6 +408,7 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
 
 def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
                             batch_size: int = 1 << 20, names_to_use=None,
+                            dtable_cache: str | None = None,
                             checkpoint_path: str | None = None,
                             checkpoint_every: int = 50, progress=None):
     """PRODUCT multi-process kinship: every participating process calls this
@@ -432,6 +449,13 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
     else:
         acc = KinshipAccumulator(n_used=n_used, n_pad=n_pad)
 
+    dt = None
+    if dtable_cache:
+        dt = _span_dtable(table_base, dtable_cache, names_to_use,
+                          min_count, n_used, pid, n_proc, my_lo, my_hi,
+                          rebuild_stale=n_proc > 1)
+    stream_tag = "dtable" if dt is not None else "table"
+
     from ..pipeline import checkpoint as ckpt
     my_ckpt = f"{checkpoint_path}.p{pid}" if checkpoint_path else None
     # topology fingerprint: resuming a span checkpoint under a different
@@ -439,29 +463,39 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
     # load_kinship_state refuses on mismatch (ADVICE r3)
     meta = {"n_proc": n_proc, "span_lo": my_lo, "span_hi": my_hi,
             "table_rows": reader.n_rows_total, "n_used": n_used}
-    start_row = my_lo
+    start_row = 0 if dt is not None else my_lo
     if my_ckpt:
-        resumed = ckpt.load_kinship_state(my_ckpt, stream="table", meta=meta)
+        resumed = ckpt.load_kinship_state(my_ckpt, stream=stream_tag,
+                                          meta=meta)
         if resumed is not None:
             acc.total, acc.n_rows, start_row = resumed
-            start_row = max(start_row, my_lo)
+            start_row = max(start_row, 0 if dt is not None else my_lo)
 
     import jax.numpy as jnp
+    if dt is not None:
+        # span dtable: rows already MAC-filtered + packed; checkpoint
+        # positions are DTABLE row indices (stream-tagged)
+        batches = ((np.ascontiguousarray(pl_), s_ + len(rw_), len(rw_))
+                   for s_, pl_, pc_, rw_ in
+                   dt.iter_batches(batch_size, start_row=start_row))
+    else:
+        batches = ((batch.packed, int(batch.row_index[-1]) + 1,
+                    batch.n_rows)
+                   for batch in reader.iter_batches(
+                       batch_size, min_count, start_row=start_row,
+                       end_row=my_hi))
     batch_i = 0
-    for batch in reader.iter_batches(batch_size, min_count,
-                                     start_row=start_row, end_row=my_hi):
-        if batch.n_rows == 0:
+    for packed, next_pos, r in batches:
+        if r == 0:
             continue
-        acc.add(np.asarray(batch.packed) if d_loc > 1
-                else jnp.asarray(batch.packed))
+        acc.add(np.asarray(packed) if d_loc > 1 else jnp.asarray(packed))
         batch_i += 1
         if my_ckpt and batch_i % checkpoint_every == 0:
             acc.flush()
             ckpt.save_kinship_state(my_ckpt, acc.total, acc.n_rows,
-                                    int(batch.row_index[-1]) + 1,
-                                    stream="table", meta=meta)
+                                    next_pos, stream=stream_tag, meta=meta)
         if progress is not None:
-            progress(batch.n_rows)
+            progress(r)
     acc.flush()
 
     total, n_rows = acc.total, acc.n_rows

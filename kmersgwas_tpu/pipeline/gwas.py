@@ -526,6 +526,7 @@ def run_distributed_gwas(cfg: GWASConfig):
         with stage("kinship"):
             K_full = multihost.run_distributed_kinship(
                 cfg.kmers_table, maf=cfg.kinship_maf,
+                dtable_cache=cfg.dtable_cache,
                 checkpoint_path=(cfg.checkpoint_base + ".kin"
                                  if cfg.checkpoint_base else None))
         if pid == 0:

@@ -210,6 +210,10 @@ def test_three_process_skewed_spans(tmp_path):
     args = ["-p", pheno_path, "-t", base, "-k", str(kmer_len),
             "-o", str(tmp_path), "-b", str(k), "--maf", "0.05", "--mac", "2",
             "--batch_size", "96",
+            # per-process span dtable caches (one host's span holds almost
+            # all rows, another's is nearly empty)
+            "--dtable_cache", str(tmp_path / "span.dtable"),
+            "--pattern_counter",
             "--coordinator", f"127.0.0.1:{port}", "--num_processes", "3"]
     procs = [subprocess.Popen(
         [sys.executable, "-m", "kmersgwas_tpu.cli", "associate-mp",
@@ -229,7 +233,8 @@ def test_three_process_skewed_spans(tmp_path):
 
     from kmersgwas_tpu.pipeline import scan as scan_mod
     ref = scan_mod.associate(base, names, y, ["a", "b"], kmer_len=kmer_len,
-                             n_top=k, maf=0.05, mac=2, batch_size=96)
+                             n_top=k, maf=0.05, mac=2, batch_size=96,
+                             count_patterns=True)
     from kmersgwas_tpu.core import formats as fm
     for j in range(p):
         got_k, got_s = fm.read_best_kmers_scores(
@@ -238,6 +243,9 @@ def test_three_process_skewed_spans(tmp_path):
         np.testing.assert_allclose(np.sort(got_s), np.sort(ref.scores[j]),
                                    rtol=1e-4)
     assert int(open(tmp_path / "pheno.tested_kmers").read()) == ref.n_tested
+    # cross-process pattern-set union over skewed spans
+    assert int(open(tmp_path / "pheno.pattern_counter").read()) \
+        == ref.n_patterns
 
 
 @pytest.mark.slow
@@ -525,3 +533,45 @@ def test_two_process_gwas_mp_cli(tmp_path):
         a = (mp_out / rel).read_bytes()
         b = (sp_out / rel).read_bytes()
         assert a == b, f"artifact differs between gwas-mp and gwas: {rel}"
+
+
+def test_distributed_kinship_dtable_route(tmp_path):
+    """run_distributed_kinship(dtable_cache=...) (single-process degenerate
+    case) must equal the raw-table route exactly, including checkpoint
+    resume on the dtable stream."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.parallel import multihost
+    from kmersgwas_tpu.pipeline import kinship as km
+
+    rng = np.random.default_rng(101)
+    rows, n, kmer_len = 300, 16, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+
+    K_ref = km.kinship_from_table(base, maf=0.1, batch_size=50)
+    dtc = str(tmp_path / "kc.dtable")
+    K1 = multihost.run_distributed_kinship(base, maf=0.1, batch_size=50,
+                                           dtable_cache=dtc)
+    np.testing.assert_array_equal(K1, K_ref)
+    assert os.path.exists(dtc)
+    ck = str(tmp_path / "kk")
+    K2 = multihost.run_distributed_kinship(base, maf=0.1, batch_size=50,
+                                           dtable_cache=dtc,
+                                           checkpoint_path=ck,
+                                           checkpoint_every=2)
+    np.testing.assert_array_equal(K2, K_ref)
+    K3 = multihost.run_distributed_kinship(base, maf=0.1, batch_size=50,
+                                           dtable_cache=dtc,
+                                           checkpoint_path=ck,
+                                           checkpoint_every=2)
+    np.testing.assert_array_equal(K3, K_ref)

@@ -396,3 +396,38 @@ def test_full_gwas_n_devices_matches_single(tmp_path):
     assert sorted(s for s, _ in r1.pass_5per) == sorted(
         s for s, _ in r2.pass_5per)
     assert r2.stage_seconds.get("kinship") is not None
+
+
+def test_pread_gather_regimes(tmp_path):
+    """_pread_gather must return exactly the requested records in both
+    regimes: DENSE (covering-span streaming, forced by clustered rows) and
+    SPARSE (per-row parallel preads, forced by a wide row spread)."""
+    from kmersgwas_tpu.pipeline.scan import _pread_gather
+
+    rng = np.random.default_rng(5)
+    n_rows, row_bytes, base_off = 200_000, 24, 17
+    data = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8)
+    path = tmp_path / "records.bin"
+    with open(path, "wb") as f:
+        f.write(b"\x00" * base_off)
+        f.write(data.tobytes())
+
+    # dense: 5000 of the first 10000 rows -> span 240 KB << 5 KB/row budget
+    dense = np.unique(rng.choice(10_000, size=5_000, replace=False))
+    got = _pread_gather(str(path), base_off, row_bytes, dense)
+    np.testing.assert_array_equal(got, data[dense])
+
+    # sparse: 300 rows over the full range -> > 5 KB/row, per-row preads
+    sparse = np.unique(rng.choice(n_rows, size=300, replace=False))
+    got = _pread_gather(str(path), base_off, row_bytes, sparse)
+    np.testing.assert_array_equal(got, data[sparse])
+
+    # single row, first row, last row
+    for rows in ([0], [n_rows - 1], [123]):
+        got = _pread_gather(str(path), base_off, row_bytes,
+                            np.array(rows, np.int64))
+        np.testing.assert_array_equal(got, data[np.array(rows)])
+
+    # empty
+    assert _pread_gather(str(path), base_off, row_bytes,
+                         np.empty(0, np.int64)).shape == (0, row_bytes)
