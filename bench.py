@@ -355,7 +355,7 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
         "unit": "kmers/s (N=1008, P=101, top-10001; median of "
                 f"{n_windows} synced {S}-step steady-state windows over a "
                 "fresh-random on-device 2M-row/step stream; "
-                f"{n_ramp} ramp windows reported separately)",
+                f"{len(ramp_s)} adaptive ramp windows reported separately)",
         "vs_baseline": round(med / BASELINE_KMERS_PER_SEC, 3),
         "window_spread_p10_p90": round(spread, 3),
         "median_step_ms": round(med_step_ms, 3),

@@ -33,23 +33,27 @@ def _norm(path: str) -> str:
 
 
 def save_scan_state(path: str, state: topk_ops.TopKState, next_row: int,
-                    n_tested: int, stream: str = "table") -> None:
+                    n_tested: int, stream: str = "table",
+                    meta: dict | None = None) -> None:
     """`stream` tags what `next_row` indexes: "table" = absolute .table row,
     "dtable" = row in the device-native cache. A resume only applies when
-    the stream kind matches (the two row spaces differ after MAC filtering)."""
+    the stream kind matches (the two row spaces differ after MAC filtering).
+    `meta`: config fingerprint (see save_kinship_state) — a resume under a
+    conflicting fingerprint is refused."""
     _atomic_savez(path, scores=np.asarray(state.scores),
                   row_lo=np.asarray(state.row_lo),
                   row_hi=np.asarray(state.row_hi),
                   next_row=np.int64(next_row), n_tested=np.int64(n_tested),
-                  stream=np.array(stream))
+                  stream=np.array(stream), **meta_arrays(meta))
 
 
-def load_scan_state(path: str):
+def load_scan_state(path: str, meta: dict | None = None):
     """-> (TopKState, next_row, n_tested, stream) or None if absent."""
     if not os.path.exists(_norm(path)):
         return None
     import jax.numpy as jnp
     z = np.load(_norm(path))
+    check_meta(z, meta, _norm(path))
     state = topk_ops.TopKState(scores=jnp.asarray(z["scores"]),
                                row_lo=jnp.asarray(z["row_lo"]),
                                row_hi=jnp.asarray(z["row_hi"]))

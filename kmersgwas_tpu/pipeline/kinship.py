@@ -108,9 +108,12 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
             dt = cand            # else: stale cache for a different filter
 
     stream_tag = "dtable" if dt is not None else "table"
+    ckpt_meta = {"table_rows": reader.n_rows_total, "n_used": reader.n_used,
+                 "min_count": min_count}
     start_row = 0
     if checkpoint_path:
-        resumed = ckpt.load_kinship_state(checkpoint_path, stream=stream_tag)
+        resumed = ckpt.load_kinship_state(checkpoint_path, stream=stream_tag,
+                                          meta=ckpt_meta)
         if resumed is not None:
             acc.total, acc.n_rows, start_row = resumed
 
@@ -129,7 +132,7 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
                 acc.flush()
                 ckpt.save_kinship_state(checkpoint_path, acc.total,
                                         acc.n_rows, s_ + r,
-                                        stream=stream_tag)
+                                        stream=stream_tag, meta=ckpt_meta)
             if progress is not None:
                 progress(r)
         return acc.finalize()
@@ -146,7 +149,8 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
         if checkpoint_path and batch_i % checkpoint_every == 0:
             acc.flush()
             ckpt.save_kinship_state(checkpoint_path, acc.total, acc.n_rows,
-                                    int(batch.row_index[-1]) + 1)
+                                    int(batch.row_index[-1]) + 1,
+                                    meta=ckpt_meta)
         if progress is not None:
             progress(batch.n_rows)
     return acc.finalize()

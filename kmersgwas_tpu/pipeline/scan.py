@@ -187,11 +187,13 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     n_devices = mesh.devices.size if mesh is not None else 1
     use_sharded = n_devices > 1
     stream_tag = "dtable" if dtable_cache else "table"
+    ckpt_meta = {"table_rows": reader.n_rows_total, "n_used": n_used,
+                 "min_count": min_count, "k_eff": k_eff, "n_pheno": p}
     n_tested = 0
     start_row = 0
     resumed_plain = None
     if checkpoint_path:
-        resumed = ckpt.load_scan_state(checkpoint_path)
+        resumed = ckpt.load_scan_state(checkpoint_path, meta=ckpt_meta)
         if resumed is not None and resumed[3] == stream_tag:
             resumed_plain, start_row, n_tested = resumed[:3]
     # fixed device shape: pad every batch to batch_size (rounded up for the
@@ -306,7 +308,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         next_pos = (next_pos + batch_size if dtable_cache else last_row + 1)
         if checkpoint_path and batch_i % checkpoint_every == 0:
             ckpt.save_scan_state(checkpoint_path, plain_state(state),
-                                 next_pos, n_tested, stream=stream_tag)
+                                 next_pos, n_tested, stream=stream_tag,
+                                 meta=ckpt_meta)
         timer.add(r)
         if progress is not None:
             progress(r)
