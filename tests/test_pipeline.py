@@ -431,3 +431,38 @@ def test_pread_gather_regimes(tmp_path):
     # empty
     assert _pread_gather(str(path), base_off, row_bytes,
                          np.empty(0, np.int64)).shape == (0, row_bytes)
+
+
+def test_run_distributed_gwas_single_process(tmp_path):
+    """run_distributed_gwas in the single-process degenerate case (no
+    jax.distributed, no broadcast wire) must write byte-identical artifacts
+    to run_gwas, with checkpoint_base and dtable_cache plumbed through."""
+    import os
+    from kmersgwas_tpu.pipeline.gwas import run_distributed_gwas
+
+    pop = build_population(tmp_path, n_samples=40, n_kmers=400, seed=9,
+                           causal_effect=3.0)
+    kw = dict(pheno_path=str(pop["pheno_path"]), kmers_table=pop["base"],
+              kmer_len=K, n_kmers=20, n_permutations=10, maf=0.05, mac=2,
+              batch_size=200, min_data_points=10, lmm_grid=32, lmm_refine=20,
+              pattern_counter=True)
+    r1 = run_gwas(GWASConfig(outdir=str(tmp_path / "sp"), **kw))
+    r2 = run_distributed_gwas(GWASConfig(
+        outdir=str(tmp_path / "mp"), checkpoint_base=str(tmp_path / "ck"),
+        dtable_cache=str(tmp_path / "c.dtable"), **kw))
+    assert r2 is not None
+    assert r1.thresholds == r2.thresholds
+    assert r1.n_tested == r2.n_tested
+    for rel in ("kmers/pass_threshold_5per", "kmers/threshold_5per",
+                "kmers/best_pvals", "kmers/pheno.pattern_counter",
+                "kmers/output/phenotype_value.assoc.txt.gz"):
+        a = (tmp_path / "sp" / rel).read_bytes()
+        b = (tmp_path / "mp" / rel).read_bytes()
+        assert a == b, f"artifact differs: {rel}"
+    assert os.path.exists(str(tmp_path / "c.dtable"))
+
+    # unsupported-in-mp options are refused, not silently ignored
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="single-process"):
+        run_distributed_gwas(GWASConfig(
+            outdir=str(tmp_path / "x"), run_snps="one_step", **kw))

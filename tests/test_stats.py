@@ -300,20 +300,24 @@ def test_emma_missing_data_subset_semantics():
     y_na = y.copy()
     y_na[[3, 7]] = np.nan
     xs_na = xs.copy()
-    xs_na[2, 10] = np.nan
+    xs_na[1, 10] = np.nan
+    xs_na[2, 10] = np.nan     # SAME NA mask as variant 1 -> one vmapped
+                              # group of 2 (the r4 mask-grouped batch path)
+    xs_na[3, 5] = np.nan      # different mask -> its own group
 
     for fn in (emma.emma_ML_LRT, emma.emma_REML_t):
         out = fn(y_na, xs_na, K)
         vids = ~np.isnan(y_na)
-        # clean variants == complete-data run on the y-subset
-        ref = fn(y[vids], xs[:, vids][[0, 1, 3]], K[np.ix_(vids, vids)])
-        np.testing.assert_allclose(np.asarray(out["ps"])[[0, 1, 3], 0],
-                                   np.asarray(ref["ps"])[:, 0], rtol=1e-6)
-        # NA variant: subset both
-        vv = vids & ~np.isnan(xs_na[2])
-        ref2 = fn(y[vv], xs[2:3, vv], K[np.ix_(vv, vv)])
-        assert np.isclose(float(out["ps"][2, 0]), float(ref2["ps"][0, 0]),
-                          rtol=1e-6)
+        # clean variant == complete-data run on the y-subset
+        ref = fn(y[vids], xs[:1, vids], K[np.ix_(vids, vids)])
+        np.testing.assert_allclose(np.asarray(out["ps"])[0, 0],
+                                   np.asarray(ref["ps"])[0, 0], rtol=1e-6)
+        # NA variants (grouped and singleton): subset both, per variant
+        for i in (1, 2, 3):
+            vv = vids & ~np.isnan(xs_na[i])
+            ref2 = fn(y[vv], xs[i:i + 1, vv], K[np.ix_(vv, vv)])
+            assert np.isclose(float(out["ps"][i, 0]),
+                              float(ref2["ps"][0, 0]), rtol=1e-6), (fn, i)
 
 
 def test_emma_ml_lrt_scales_to_m1000_n500():
