@@ -99,6 +99,45 @@ def main():
     assert n_pass > 0, "expected cassette-linked k-mers to pass"
     print("example OK")
 
+    # same pipeline as ONE COMMAND PER HOST (gwas-mp): two local CPU
+    # jax.distributed processes; process 0's artifacts must match
+    print("\nre-running as a 2-process gwas-mp (CPU processes)...")
+    import os
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[2])
+    args = ["--pheno", str(work / "resistance.pheno"),
+            "--kmers_table", str(work / "kmers_table"),
+            "--outdir", str(work / "gwas_results_mp"), "-l", str(K),
+            "-k", "200", "--permutations", "30", "--mac", "3",
+            "--min_data_points", "10", "--batch_size", "16384",
+            "--coordinator", f"127.0.0.1:{port}", "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "gwas-mp",
+         *args, "--process_id", str(pid)], env=env)
+        for pid in (0, 1)]
+    for pr in procs:
+        assert pr.wait(timeout=600) == 0
+    mp_pass = (work / "gwas_results_mp" / "kmers"
+               / "pass_threshold_5per").read_text()
+    # byte-identity between gwas-mp and gwas holds for a common backend and
+    # is asserted in CI (tests/test_multiprocess.py); here the single-
+    # process run may have used the TPU (f32 stats fallback) while the mp
+    # processes ran CPU f64, so compare the passing k-mer SETS
+    mp_set = {ln.split("\t")[0] for ln in mp_pass.splitlines()}
+    sp_set = {ln.split("\t")[0] for ln in passed.splitlines()}
+    assert mp_set, "gwas-mp found no passing k-mers"
+    overlap = len(mp_set & sp_set) / max(1, len(sp_set))
+    print(f"gwas-mp pass-set overlap with single-process: {overlap:.0%}")
+    assert overlap > 0.8
+    print("gwas-mp matches single-process gwas — example OK")
+
 
 if __name__ == "__main__":
     main()
