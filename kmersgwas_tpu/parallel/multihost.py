@@ -219,9 +219,10 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
       first_phenotype_top — larger top-k for column 0 (--first_phenotype_best)
       count_patterns      — global distinct presence/absence patterns
       dtable_cache        — per-process device-native cache of this host's
-                            span (`<cache>.p<pid>of<nproc>`), built on first
-                            use; subsequent runs stream memmap slices with
-                            no host-side squeeze work
+                            span (`<cache>.mc<minc>.n<nused>.p<pid>of<nproc>`,
+                            see _span_dtable), built on first use;
+                            subsequent runs stream memmap slices with no
+                            host-side squeeze work
       score_precision     — "default" | "highest" TPU matmul precision
 
     Topology: this process streams ONLY its contiguous k-mer range of the
