@@ -99,6 +99,8 @@ def _add_gwas_mp(sub):
     p.add_argument("--checkpoint", default=None,
                    help="base path for resumable per-process kinship/scan "
                         "checkpoints (<base>.kin.p<pid> / <base>.scan.p<pid>)")
+    p.add_argument("--checkpoint_every", type=int, default=20,
+                   help="batches between checkpoint writes")
     p.add_argument("--coordinator", required=True,
                    help="host:port of process 0")
     p.add_argument("--num_processes", type=int, required=True)
@@ -120,7 +122,8 @@ def _add_gwas_mp(sub):
             dtable_cache=a.dtable_cache,
             n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
             remove_intermediates=not a.dont_remove_intermediates,
-            lmm_backend=a.lmm_backend, checkpoint_base=a.checkpoint))
+            lmm_backend=a.lmm_backend, checkpoint_base=a.checkpoint,
+            checkpoint_every=a.checkpoint_every))
         if res is not None:
             th5 = res.thresholds.get("5per")
             print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "

@@ -81,6 +81,8 @@ class GWASConfig:
     checkpoint_base: str | None = None  # base path for resumable kinship/scan
                                         # checkpoints (<base>.kin / <base>.scan;
                                         # per-process suffixes in gwas-mp)
+    checkpoint_every: int = 20          # batches between checkpoint writes
+                                        # (both stages)
 
 
 @dataclass
@@ -192,7 +194,8 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
                 cfg.kmers_table, maf=cfg.kinship_maf,
                 dtable_cache=cfg.dtable_cache, mesh=mesh,
                 checkpoint_path=(cfg.checkpoint_base + ".kin"
-                                 if cfg.checkpoint_base else None))
+                                 if cfg.checkpoint_base else None),
+                checkpoint_every=cfg.checkpoint_every)
         kin_names = table_names
         kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
 
@@ -251,7 +254,8 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
             first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh,
             checkpoint_path=(cfg.checkpoint_base + ".scan"
-                             if cfg.checkpoint_base else None))
+                             if cfg.checkpoint_base else None),
+            checkpoint_every=cfg.checkpoint_every)
     return _post_scan_stages(cfg, out, kmers_dir, result, tr, used, K, n,
                              log, log_lines, stage_seconds)
 
@@ -528,7 +532,8 @@ def run_distributed_gwas(cfg: GWASConfig):
                 cfg.kmers_table, maf=cfg.kinship_maf,
                 dtable_cache=cfg.dtable_cache,
                 checkpoint_path=(cfg.checkpoint_base + ".kin"
-                                 if cfg.checkpoint_base else None))
+                                 if cfg.checkpoint_base else None),
+                checkpoint_every=cfg.checkpoint_every)
         if pid == 0:
             kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
     kin_names = table_names
@@ -597,7 +602,8 @@ def run_distributed_gwas(cfg: GWASConfig):
             count_patterns=cfg.pattern_counter,
             dtable_cache=cfg.dtable_cache,
             checkpoint_path=(cfg.checkpoint_base + ".scan"
-                             if cfg.checkpoint_base else None))
+                             if cfg.checkpoint_base else None),
+            checkpoint_every=cfg.checkpoint_every)
     if pid != 0:
         return None     # candidates are replicated; one writer is enough
 

@@ -575,3 +575,109 @@ def test_distributed_kinship_dtable_route(tmp_path):
                                            checkpoint_path=ck,
                                            checkpoint_every=2)
     np.testing.assert_array_equal(K3, K_ref)
+
+
+@pytest.mark.slow
+def test_gwas_mp_crash_resume(tmp_path):
+    """Elastic recovery of the ONE-COMMAND pipeline: both gwas-mp processes
+    are SIGKILLed mid-scan (after per-process scan checkpoints appear);
+    rerunning the identical command must resume from the checkpoints and
+    produce artifacts byte-identical to an uninterrupted single-process
+    `gwas` run."""
+    import signal
+    import time
+    from kmersgwas_tpu.core import formats
+
+    rng = np.random.default_rng(88)
+    rows, n, kmer_len = 3000, 32, 15
+    names = [f"acc{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=n)
+    pheno_path = str(tmp_path / "t.pheno")
+    formats.write_phenotypes(pheno_path, formats.PhenotypeTable(
+        names=["phenotype_value"], accessions=names, values=y[:, None]))
+
+    import kmersgwas_tpu
+    env = {k_: v for k_, v in os.environ.items()
+           if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        kmersgwas_tpu.__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    mp_out = tmp_path / "mp_out"
+    ck = tmp_path / "ck"
+
+    def launch():
+        port = _free_port()
+        args = ["--pheno", pheno_path, "--kmers_table", base,
+                "--outdir", str(mp_out), "-l", str(kmer_len), "-k", "12",
+                "--permutations", "12", "--maf", "0.05", "--mac", "2",
+                "--batch_size", "256", "--min_data_points", "10",
+                "--seed", "0", "--checkpoint", str(ck),
+                "--checkpoint_every", "1",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2"]
+        return [subprocess.Popen(
+            [sys.executable, "-m", "kmersgwas_tpu.cli", "gwas-mp",
+             *args, "--process_id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in (0, 1)]
+
+    # attempt 1: kill both processes once scan checkpoints exist
+    procs = launch()
+    deadline = time.time() + 300
+    scan_cks = [f"{ck}.scan.p{pid}.npz" for pid in (0, 1)]
+    while time.time() < deadline:
+        if all(os.path.exists(p) for p in scan_cks):
+            break
+        if any(pr.poll() is not None for pr in procs):
+            break       # finished before we could kill — still a valid run
+        time.sleep(0.2)
+    interrupted = False
+    if all(os.path.exists(p) for p in scan_cks) and \
+            all(pr.poll() is None for pr in procs):
+        for pr in procs:
+            pr.send_signal(signal.SIGKILL)
+        interrupted = True
+    for pr in procs:
+        try:
+            pr.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            pr.communicate()
+    assert interrupted, "scan checkpoints never appeared (or run finished early)"
+    assert not (mp_out / "kmers" / "threshold_5per").exists()
+
+    # attempt 2: identical command resumes from the per-process checkpoints
+    procs = launch()
+    for pr in procs:
+        out, _ = pr.communicate(timeout=420)
+        assert pr.returncode == 0, out.decode(errors="replace")[-4000:]
+
+    # uninterrupted single-process reference in a subprocess (same backend)
+    sp_out = tmp_path / "sp_out"
+    sp = subprocess.run(
+        [sys.executable, "-m", "kmersgwas_tpu.cli", "gwas",
+         "--pheno", pheno_path, "--kmers_table", base,
+         "--outdir", str(sp_out), "-l", str(kmer_len), "-k", "12",
+         "--permutations", "12", "--maf", "0.05", "--mac", "2",
+         "--batch_size", "256", "--min_data_points", "10", "--seed", "0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=420)
+    assert sp.returncode == 0, sp.stdout.decode(errors="replace")[-4000:]
+
+    for rel in ("kmers/pheno.tested_kmers", "kmers/threshold_5per",
+                "kmers/best_pvals", "kmers/pass_threshold_5per",
+                "kmers/output/phenotype_value.assoc.txt.gz"):
+        a = (mp_out / rel).read_bytes()
+        b = (sp_out / rel).read_bytes()
+        assert a == b, f"artifact differs after crash-resume: {rel}"
