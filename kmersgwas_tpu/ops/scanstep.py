@@ -408,7 +408,6 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     cat_g = jnp.minimum(jnp.concatenate([g1, g2, g3], axis=1), rows - 1)
     neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
     v = -neg_v
-    blo, bhi = row_lo[g_s], row_hi[g_s]
     # exact iff: excluded tiles are cold, no tile has > 3 hot lanes, and the
     # sum-encoded 2nd/3rd lanes are unambiguous wherever their value is hot
     th2 = state.thresh[:, None]
@@ -428,20 +427,25 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     state = jax.lax.cond(state.buf_n + width > cap, _flush_state_only,
                          lambda s: s, state)
 
+    # row-id resolution is DEFERRED into the branches: a gather from the
+    # (R,) row arrays costs ~1 ms at 3c width on TPU (serialized lowering),
+    # and the steady-state narrow append needs only the top q rows — the
+    # q-wide gather is ~3c/q times cheaper (measured tools/prof_window2.py)
     def do_append(st: BufferedTopKState) -> BufferedTopKState:
         at = (jnp.int32(0), st.buf_n)
         return st._replace(
             buf_v=jax.lax.dynamic_update_slice(st.buf_v, v, at),
-            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, blo, at),
-            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, bhi, at),
+            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, row_lo[g_s], at),
+            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, row_hi[g_s], at),
             buf_n=st.buf_n + 3 * c)
 
     def do_append_narrow(st: BufferedTopKState) -> BufferedTopKState:
         at = (jnp.int32(0), st.buf_n)
+        g_q = g_s[:, :q]
         return st._replace(
             buf_v=jax.lax.dynamic_update_slice(st.buf_v, v[:, :q], at),
-            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, blo[:, :q], at),
-            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, bhi[:, :q], at),
+            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, row_lo[g_q], at),
+            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, row_hi[g_q], at),
             buf_n=st.buf_n + q)
 
     def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
