@@ -681,3 +681,60 @@ def test_gwas_mp_crash_resume(tmp_path):
         a = (mp_out / rel).read_bytes()
         b = (sp_out / rel).read_bytes()
         assert a == b, f"artifact differs after crash-resume: {rel}"
+
+
+def test_distributed_scan_dtable_checkpoint_resume(tmp_path):
+    """run_distributed_scan on the dtable stream with checkpointing:
+    interrupted mid-stream and resumed, must equal the raw-route result
+    exactly (dtable-row checkpoint positions, stream-tagged)."""
+    from kmersgwas_tpu.core import formats
+    from kmersgwas_tpu.parallel import multihost
+    from kmersgwas_tpu.pipeline import scan as scan_mod
+
+    rng = np.random.default_rng(121)
+    rows, n, p, k, kmer_len = 3000, 20, 2, 15, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, p))
+
+    ref = scan_mod.associate(base, names, y, ["a", "b"], kmer_len=kmer_len,
+                             n_top=k, maf=0.05, mac=2, batch_size=64)
+    dtc = str(tmp_path / "c.dtable")
+    ck = str(tmp_path / "dck")
+    kw = dict(kmer_len=kmer_len, n_top=k, maf=0.05, mac=2, batch_size=64,
+              dtable_cache=dtc, checkpoint_path=ck, checkpoint_every=1)
+
+    class _Interrupt(Exception):
+        pass
+
+    calls = [0]
+
+    def bomb(r):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise _Interrupt
+
+    try:
+        multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                       progress=bomb, **kw)
+        raise AssertionError("interruption did not fire")
+    except _Interrupt:
+        pass
+    z = np.load(ck + ".p0.npz")
+    assert bytes(z["stream"]).decode() == "dtable"
+    per, nt, _ = multihost.run_distributed_scan(base, names, y, ["a", "b"],
+                                                **kw)
+    assert nt == ref.n_tested
+    for j in range(p):
+        np.testing.assert_array_equal(per[j][1], ref.rows[j])
+        np.testing.assert_allclose(per[j][0], ref.scores[j], rtol=1e-6)
