@@ -265,7 +265,8 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
     step = functools.partial(
         ss.scan_step_compact.__wrapped__, y_padded=yp, y_sum=ysum,
         n_used=n_used, min_count=min_count, kernel="pallas", cand_c=256,
-        cand_k=2048, tile_rows=2048, cand_q=64, pre_transposed=True)
+        cand_k=2048, tile_rows=2048, cand_q=64, cand_c2=64,
+        pre_transposed=True)
 
     @jax.jit
     def window(state, seed, base):
@@ -308,8 +309,16 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
         if i + 1 >= n_ramp:
             prev_min = min(ramp_s[:-4])
             recent_min = min(ramp_s[-4:])
+            # "no longer improving AND sitting near the minimum" is not
+            # enough: a cold relay can PLATEAU at the slow level for many
+            # windows before warming (observed). Only accept convergence
+            # once the ramp has genuinely warmed past its first window;
+            # if it never does, n_ramp_max bounds the ramp and the
+            # measurement windows are at worst uniformly slow (median
+            # still robust).
             converged = (recent_min > 0.95 * prev_min
-                         and ramp_s[-1] < 1.3 * min(ramp_s))
+                         and ramp_s[-1] < 1.3 * min(ramp_s)
+                         and min(ramp_s) < 0.5 * ramp_s[0])
             if converged:
                 break
 

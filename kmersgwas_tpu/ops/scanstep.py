@@ -343,13 +343,14 @@ def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
 @functools.partial(jax.jit,
                    static_argnames=("n_used", "min_count", "kernel", "block",
                                     "cand_c", "cand_k", "tile_rows",
-                                    "cand_q", "pre_transposed",
+                                    "cand_q", "cand_c2", "pre_transposed",
                                     "precision"))
 def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       row_lo, row_hi, y_padded, y_sum, *, n_used: int,
                       min_count: int, kernel: str = "xla", block: int = 16,
                       cand_c: int = 128, cand_k: int = 2048,
                       tile_rows: int = 2048, cand_q: int | None = None,
+                      cand_c2: int | None = None,
                       pre_transposed: bool = False,
                       precision: str = "default") -> BufferedTopKState:
     """One streamed batch -> buffered top-k state via the compact tile-max
@@ -368,23 +369,33 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     top-k boundary, and every candidate is exactly re-scored by the LMM
     stage). "highest" is f32-faithful (~5e-6) at ~3-6x the GEMM cost.
 
-    cand_q: optional NARROW append width. The 3c per-batch candidates come
+    cand_q: optional NARROW append width. The per-batch candidates come
     out sorted descending; whenever the (q+1)-th is already <= thresh, only
     the top q are appended — the dropped tail is <= thresh, so (strict
     displacement rule) it can never enter the final top-k: exact. At steady
-    state nearly every batch qualifies, so the buffer fills ~3c/q times
+    state nearly every batch qualifies, so the buffer fills width/q times
     slower and the expensive flush merge (a (P, K + cap) top_k — ~170 ms at
     production shape on TPU, the dominant steady-state cost without this)
-    amortizes over that many more batches. Ignored unless cand_q < 3c and
-    cand_q divides the buffer capacity."""
+    amortizes over that many more batches. Ignored unless cand_q < width and
+    cand_q divides the buffer capacity.
+
+    cand_c2: tiles whose FULL top-3 is captured (<= cand_c; default = all
+    kept tiles). 2nd/3rd lanes of kept tiles ranked past c2 are captured
+    only if hot — a new exactness condition (their tile's 2nd max <=
+    thresh; the 3rd is <= the 2nd) forces the fallback otherwise, which at
+    steady state means "> c2 tiles hold multiple hot lanes" — an extreme
+    batch. Shrinks the candidate width from 3c to c + 2*c2 (the two-key
+    sort is a major share of the post-kernel cost)."""
     k = state.scores.shape[1]
     cap = state.buf_v.shape[1]
     rows = packed.shape[1] if pre_transposed else packed.shape[0]
     assert rows % tile_rows == 0
     n_tiles = rows // tile_rows
     c = min(cand_c, n_tiles)
-    assert cap % (3 * c) == 0
-    q = (cand_q if cand_q and cand_q < 3 * c and cap % cand_q == 0
+    c2 = min(cand_c2, c) if cand_c2 else c
+    width = c + 2 * c2
+    assert cap % width == 0
+    q = (cand_q if cand_q and cand_q < width and cap % cand_q == 0
          else None)
     tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
         packed, popcnt, y_padded, y_sum, state.thresh,
@@ -396,24 +407,31 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     else:                       # every tile kept: nothing excluded
         v1, ti_c = jax.lax.top_k(tmax, c)
         excl_ok = jnp.bool_(True)
-    v2 = jnp.take_along_axis(tmax2, ti_c, axis=1)
-    v3 = jnp.take_along_axis(tmax3, ti_c, axis=1)
+    v2_full = jnp.take_along_axis(tmax2, ti_c, axis=1)
+    v2, v3 = v2_full[:, :c2], jnp.take_along_axis(
+        tmax3, ti_c[:, :c2], axis=1)
     g1 = ti_c * tile_rows + jnp.take_along_axis(targ, ti_c, axis=1)
-    g2 = ti_c * tile_rows + jnp.take_along_axis(targ2, ti_c, axis=1)
-    g3 = ti_c * tile_rows + jnp.take_along_axis(targ3, ti_c, axis=1)
-    # 3c candidates per batch (each kept tile's top-3); sort by
-    # (value desc, in-batch lane asc) so equal values keep ascending-row
-    # order in the buffer — the heap's earliest-wins tie rule
+    g2 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
+        targ2, ti_c[:, :c2], axis=1)
+    g3 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
+        targ3, ti_c[:, :c2], axis=1)
+    # c + 2*c2 candidates per batch (top-c2 tiles' top-3, the rest's top-1);
+    # sort by (value desc, in-batch lane asc) so equal values keep
+    # ascending-row order in the buffer — the heap's earliest-wins tie rule
     cat_v = jnp.concatenate([v1, v2, v3], axis=1)
     cat_g = jnp.minimum(jnp.concatenate([g1, g2, g3], axis=1), rows - 1)
     neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
     v = -neg_v
-    # exact iff: excluded tiles are cold, no tile has > 3 hot lanes, and the
-    # sum-encoded 2nd/3rd lanes are unambiguous wherever their value is hot
+    # exact iff: excluded tiles are cold, no tile has > 3 hot lanes, the
+    # sum-encoded 2nd/3rd lanes are unambiguous wherever their value is
+    # hot, and kept tiles past rank c2 hold no hot 2nd lane (their 2nd/3rd
+    # are not captured; a hot one forces the fallback)
     th2 = state.thresh[:, None]
     ok = (excl_ok & jnp.all(cnt <= 3)
           & jnp.all((tmax2 <= th2) | (n2 == 1))
           & jnp.all((tmax3 <= th2) | (n3 == 1)))
+    if c2 < c:
+        ok = ok & jnp.all(v2_full[:, c2:] <= th2)
 
     # narrow qualification: everything past the q-th sorted candidate is
     # <= thresh in every column, so the tail is dead weight (strict
@@ -423,8 +441,8 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     # flush BEFORE appending if the incoming width won't fit; thresh only
     # rises, so the `ok` decision made against the older (lower) thresh
     # stays conservative
-    width = jnp.where(narrow, q, 3 * c) if q else 3 * c
-    state = jax.lax.cond(state.buf_n + width > cap, _flush_state_only,
+    incoming = jnp.where(narrow, q, width) if q else width
+    state = jax.lax.cond(state.buf_n + incoming > cap, _flush_state_only,
                          lambda s: s, state)
 
     # row-id resolution is DEFERRED into the branches: a gather from the
@@ -437,7 +455,7 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
             buf_v=jax.lax.dynamic_update_slice(st.buf_v, v, at),
             buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, row_lo[g_s], at),
             buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, row_hi[g_s], at),
-            buf_n=st.buf_n + 3 * c)
+            buf_n=st.buf_n + width)
 
     def do_append_narrow(st: BufferedTopKState) -> BufferedTopKState:
         at = (jnp.int32(0), st.buf_n)

@@ -276,6 +276,7 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     cand_c = min(256, k_eff, max(1, shard_rows // tile))
     cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
     cand_q = 64
+    cand_c2 = 64 if cand_c >= 64 else None
 
     my_lo, my_hi = host_row_span(table_base, pid, n_proc)
     stream_tag = "dtable" if dtable_cache else "table"
@@ -315,7 +316,7 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     step = shard_mod.build_sharded_scan_step_compact(
         mesh, n_used=n_used, min_count=min_count, kernel=kernel,
         cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
-        precision=score_precision)
+        cand_c2=cand_c2, precision=score_precision)
 
     if dt is not None:
         batches = ((pl_, pc_, rw_, s_ + len(rw_)) for s_, pl_, pc_, rw_

@@ -210,7 +210,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     cand_c = min(256, k_eff, shard_rows // tile)
     cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
     cand_q = 64      # narrow-append width (scan_step_compact ignores it
-                     # unless it divides the buffer cap and is < 3*cand_c)
+                     # unless it divides the buffer cap and is < the
+                     # candidate width)
+    cand_c2 = 64 if cand_c >= 64 else None   # full top-3 capture only for
+                     # the hottest 64 tiles (sort width c + 2*c2, not 3c)
     if use_sharded:
         from ..parallel import sharding as shard_mod
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -219,7 +222,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
-            precision=score_precision)
+            cand_c2=cand_c2, precision=score_precision)
         batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
         rep = NamedSharding(mesh, _P())
         yp = jax.device_put(np.asarray(yp), rep)
@@ -282,7 +285,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
             st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
             n_used=n_used, min_count=min_count, kernel=kernel,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
-            precision=score_precision)
+            cand_c2=cand_c2, precision=score_precision)
 
     def plain_state(st):
         if use_sharded:

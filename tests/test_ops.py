@@ -549,3 +549,56 @@ def test_scan_step_compact_pre_transposed_stream_equal():
     np.testing.assert_array_equal(np.asarray(fa.scores), np.asarray(fb.scores))
     np.testing.assert_array_equal(np.asarray(fa.row_lo), np.asarray(fb.row_lo))
     np.testing.assert_array_equal(np.asarray(fa.row_hi), np.asarray(fb.row_hi))
+
+
+def test_scan_step_compact_c2_matches_plain():
+    """cand_c2 < cand_c (top-3 capture limited to the hottest c2 tiles,
+    top-1 elsewhere, guarded by the v2-cold condition): final top-k must
+    still equal the plain path exactly, with both append and fallback
+    branches engaged."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(17)
+    n, p, k = 40, 3, 16
+    n_pad = 128
+    rows_per, n_batches = 256, 24
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    batches = []
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        batches.append((packed, pc, jnp.asarray(lo), jnp.asarray(hi)))
+
+    state_p = topk.init_state(p, k)
+    for packed, pc, lo, hi in batches:
+        state_p = scanstep.scan_step(state_p, packed, pc, lo, hi, yp, ysum,
+                                     n_used=n, min_count=min_count,
+                                     kernel="xla", cand_k=8)
+
+    # tile_rows=16 -> n_tiles=16, c=8, c2=2: width = 8 + 4 = 12 | buf 24
+    state_c = scanstep.init_buffered_state(p, k, buf_cap=24)
+    n_append = 0
+    for packed, pc, lo, hi in batches:
+        prev_n = int(state_c.buf_n)
+        state_c = scanstep.scan_step_compact(
+            state_c, packed, pc, lo, hi, yp, ysum, n_used=n,
+            min_count=min_count, kernel="xla", cand_c=8, cand_k=12,
+            tile_rows=16, cand_c2=2)
+        if int(state_c.buf_n) > prev_n:
+            n_append += 1
+    assert n_append >= 3, "compact append path never engaged"
+    assert n_append < n_batches, "fallback path never engaged"
+    final_c = scanstep.flush_buffered(state_c)
+    np.testing.assert_array_equal(np.asarray(state_p.scores),
+                                  np.asarray(final_c.scores))
+    np.testing.assert_array_equal(
+        topk.decode_rows(np.asarray(state_p.row_lo),
+                         np.asarray(state_p.row_hi)),
+        topk.decode_rows(np.asarray(final_c.row_lo),
+                         np.asarray(final_c.row_hi)))
