@@ -77,6 +77,14 @@ def score_batch(packed, popcnt, y_padded, y_sum, *, n_used: int, min_count: int)
 # the GEMM emits scores directly in (P, R) — the exact layout the blocked
 # top-k consumes, so the scan step does zero relayouts.
 
+# phenotype-axis chunk size for the fused kernels: the y block, unpacked
+# g matrix, and per-chunk outputs must share the 16 MB VMEM
+_P_CHUNK = 256
+# whole-plane tilemax outputs switch to revisited 128-lane blocks past this
+# total VMEM footprint (module-level so tests can force the blocked mode)
+_VMEM_PLANE_BUDGET = 6 << 20
+
+
 def _unpack_dot_t(w, yt, prec):
     """(W32, TR) packed words x (P_pad, N_pad) yt -> yigi (P_pad, TR).
 
@@ -125,32 +133,46 @@ def score_batch_t_pallas(packed, popcnt, y_padded, y_sum, *,
     rows, w32 = packed.shape
     n_pad, p = y_padded.shape
     assert n_pad == w32 * 32 and rows % tile_rows == 0
-    p_pad = ((p + 7) // 8) * 8
-    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
-    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
     packed_t = packed.T                                   # (W32, R)
     pop2 = popcnt[None, :]                                # (1, R)
     grid = (rows // tile_rows,)
-    out = pl.pallas_call(
-        functools.partial(_score_t_kernel, n_used=n_used, min_count=min_count,
-                          prec=precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((p_pad, tile_rows), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_pad, rows), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * n_pad * p_pad,
-            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4 + rows * p_pad * 4,
-            transcendentals=0,
-        ),
-    )(packed_t, pop2, yt, ysum)
-    return out[:p]
+
+    def call_chunk(y_chunk, ysum_chunk):
+        pc = y_chunk.shape[1]
+        pc_pad = ((pc + 7) // 8) * 8
+        yt = jnp.zeros((pc_pad, n_pad), jnp.float32).at[:pc, :].set(
+            y_chunk.T)
+        ysum2 = jnp.zeros((pc_pad, 1), jnp.float32).at[:pc, 0].set(
+            ysum_chunk)
+        out = pl.pallas_call(
+            functools.partial(_score_t_kernel, n_used=n_used,
+                              min_count=min_count, prec=precision),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((pc_pad, tile_rows), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((pc_pad, rows), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * n_pad * pc_pad,
+                bytes_accessed=rows * w32 * 4 + n_pad * pc_pad * 4
+                + rows * pc_pad * 4,
+                transcendentals=0,
+            ),
+        )(packed_t, pop2, yt, ysum2)
+        return out[:pc]
+
+    # chunk the phenotype axis past ~256 columns (y block + unpacked g +
+    # the (pc, tile) score block must share VMEM); <= 256 is one call
+    if p <= _P_CHUNK:
+        return call_chunk(y_padded, y_sum)
+    return jnp.concatenate(
+        [call_chunk(y_padded[:, s:s + _P_CHUNK], y_sum[s:s + _P_CHUNK])
+         for s in range(0, p, _P_CHUNK)], axis=0)
 
 
 def _score_t_bmax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref,
@@ -195,47 +217,60 @@ def score_batch_t_pallas_bmax(packed, popcnt, y_padded, y_sum, *,
     rows, w32 = packed.shape
     n_pad, p = y_padded.shape
     assert n_pad == w32 * 32 and rows % tile_rows == 0 and tile_rows % block == 0
-    p_pad = ((p + 7) // 8) * 8
-    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
-    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
     packed_t = packed.T                                   # (W32, R)
     pop2 = popcnt[None, :]                                # (1, R)
     grid = (rows // tile_rows,)
-    sc, bmax = pl.pallas_call(
-        functools.partial(_score_t_bmax_kernel, n_used=n_used,
-                          min_count=min_count, block=block, prec=precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((p_pad, tile_rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, tile_rows // block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((p_pad, rows), jnp.float32),
-            jax.ShapeDtypeStruct((p_pad, rows // block), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * n_pad * p_pad,
-            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4
-            + rows * p_pad * 4 + rows // block * p_pad * 4,
-            transcendentals=0,
-        ),
-    )(packed_t, pop2, yt, ysum)
-    return sc[:p], bmax[:p]
+
+    def call_chunk(y_chunk, ysum_chunk):
+        pc = y_chunk.shape[1]
+        pc_pad = ((pc + 7) // 8) * 8
+        yt = jnp.zeros((pc_pad, n_pad), jnp.float32).at[:pc, :].set(
+            y_chunk.T)
+        ysum2 = jnp.zeros((pc_pad, 1), jnp.float32).at[:pc, 0].set(
+            ysum_chunk)
+        sc, bmax = pl.pallas_call(
+            functools.partial(_score_t_bmax_kernel, n_used=n_used,
+                              min_count=min_count, block=block,
+                              prec=precision),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((pc_pad, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, tile_rows // block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((pc_pad, rows), jnp.float32),
+                jax.ShapeDtypeStruct((pc_pad, rows // block), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * n_pad * pc_pad,
+                bytes_accessed=rows * w32 * 4 + n_pad * pc_pad * 4
+                + rows * pc_pad * 4 + rows // block * pc_pad * 4,
+                transcendentals=0,
+            ),
+        )(packed_t, pop2, yt, ysum2)
+        return sc[:pc], bmax[:pc]
+
+    if p <= _P_CHUNK:
+        return call_chunk(y_padded, y_sum)
+    parts = [call_chunk(y_padded[:, s:s + _P_CHUNK], y_sum[s:s + _P_CHUNK])
+             for s in range(0, p, _P_CHUNK)]
+    return (jnp.concatenate([a for a, _ in parts], axis=0),
+            jnp.concatenate([b for _, b in parts], axis=0))
 
 
 def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
                             tmax_ref, targ_ref, tmax2_ref, targ2_ref,
                             tmax3_ref, targ3_ref, n2_ref, n3_ref,
                             cnt_ref, *, n_used: int, min_count: int,
-                            prec: str = "default"):
+                            prec: str = "default", blocked: bool = False):
     w = packed_ref[...]                                   # (W32, TR) uint32
     yigi = _unpack_dot_t(w, yt_ref[...], prec)
     n = jnp.float32(n_used)
@@ -277,22 +312,32 @@ def _score_t_tilemax_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
     a3 = jnp.sum(idx_f * eq3, axis=1, keepdims=True).astype(jnp.int32)
     cnt = jnp.sum((score > th_ref[...]).astype(jnp.int32),
                   axis=1, keepdims=True)
-    # outputs are whole-array blocks resident in VMEM across the grid
-    # (1-lane blocks are not lowerable, nor are unaligned dynamic lane
-    # stores); program t masked-updates lane t%128 of its 128-lane-aligned
-    # output tile — the aligned dynamic store Mosaic can prove
+    # program t masked-updates lane t % 128 of a 128-lane-aligned output
+    # tile (1-lane blocks are not lowerable, nor are unaligned dynamic
+    # lane stores). Two storage modes:
+    #   blocked=False — outputs are whole-array VMEM-resident blocks (the
+    #     flagship-shape fast path; fits up to ~450 phenotype columns);
+    #   blocked=True  — outputs are (p_pad, 128) blocks revisited for 128
+    #     consecutive grid steps (index map i -> i // 128): VMEM holds one
+    #     128-lane tile per output, so arbitrary column counts fit.
     t = pl.program_id(0)
-    base = pl.multiple_of((t // 128) * 128, 128)
     p_pad = m1.shape[0]
     hit = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (p_pad, 128), 1) == t % 128,
         (p_pad, 128))
-    sl = pl.ds(base, 128)
-    for ref, val in ((tmax_ref, m1), (targ_ref, a1), (tmax2_ref, m2),
-                     (targ2_ref, a2), (tmax3_ref, m3), (targ3_ref, a3),
-                     (n2_ref, n2), (n3_ref, n3), (cnt_ref, cnt)):
-        ref[:, sl] = jnp.where(hit, jnp.broadcast_to(val, (p_pad, 128)),
-                               ref[:, sl])
+    stores = ((tmax_ref, m1), (targ_ref, a1), (tmax2_ref, m2),
+              (targ2_ref, a2), (tmax3_ref, m3), (targ3_ref, a3),
+              (n2_ref, n2), (n3_ref, n3), (cnt_ref, cnt))
+    if blocked:
+        for ref, val in stores:
+            ref[...] = jnp.where(hit, jnp.broadcast_to(val, (p_pad, 128)),
+                                 ref[...])
+    else:
+        base = pl.multiple_of((t // 128) * 128, 128)
+        sl = pl.ds(base, 128)
+        for ref, val in stores:
+            ref[:, sl] = jnp.where(hit, jnp.broadcast_to(val, (p_pad, 128)),
+                                   ref[:, sl])
 
 
 @functools.partial(jax.jit, static_argnames=("n_used", "min_count",
@@ -328,10 +373,6 @@ def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
         rows, w32 = packed.shape
     n_pad, p = y_padded.shape
     assert n_pad == w32 * 32 and rows % tile_rows == 0
-    p_pad = ((p + 7) // 8) * 8
-    yt = jnp.zeros((p_pad, n_pad), jnp.float32).at[:p, :].set(y_padded.T)
-    ysum = jnp.zeros((p_pad, 1), jnp.float32).at[:p, 0].set(y_sum)
-    th = jnp.full((p_pad, 1), -jnp.inf, jnp.float32).at[:p, 0].set(thresh)
     packed_t = packed if pre_transposed else packed.T     # (W32, R)
     pop2 = popcnt[None, :]                                # (1, R)
     n_tiles = rows // tile_rows
@@ -341,28 +382,66 @@ def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
     grid = (n_tiles,)
     out_dtypes = [jnp.float32, jnp.int32, jnp.float32, jnp.int32,
                   jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
-    outs = pl.pallas_call(
-        functools.partial(_score_t_tilemax_kernel, n_used=n_used,
-                          min_count=min_count, prec=precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((w32, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((p_pad, nt_pad), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)] * 9,
-        out_shape=[jax.ShapeDtypeStruct((p_pad, nt_pad), d)
-                   for d in out_dtypes],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * n_pad * p_pad,
-            bytes_accessed=rows * w32 * 4 + n_pad * p_pad * 4
-            + 9 * nt_pad * p_pad * 4,
-            transcendentals=0,
-        ),
-    )(packed_t, pop2, yt, ysum, th)
+
+    def call_chunk(y_chunk, ysum_chunk, th_chunk):
+        pc = y_chunk.shape[1]
+        pc_pad = ((pc + 7) // 8) * 8
+        # whole-plane VMEM-resident outputs for the flagship shapes; the
+        # revisited 128-lane block mode once the planes stop fitting
+        blocked = pc_pad * nt_pad * 4 * 9 > _VMEM_PLANE_BUDGET
+        yt = jnp.zeros((pc_pad, n_pad), jnp.float32).at[:pc, :].set(
+            y_chunk.T)
+        ysum2 = jnp.zeros((pc_pad, 1), jnp.float32).at[:pc, 0].set(
+            ysum_chunk)
+        th2 = jnp.full((pc_pad, 1), -jnp.inf, jnp.float32).at[:pc, 0].set(
+            th_chunk)
+        if blocked:
+            out_specs = [pl.BlockSpec((pc_pad, 128), lambda i: (0, i // 128),
+                                      memory_space=pltpu.VMEM)] * 9
+        else:
+            out_specs = [pl.BlockSpec((pc_pad, nt_pad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 9
+        outs = pl.pallas_call(
+            functools.partial(_score_t_tilemax_kernel, n_used=n_used,
+                              min_count=min_count, prec=precision,
+                              blocked=blocked),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((w32, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((pc_pad, nt_pad), d)
+                       for d in out_dtypes],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * n_pad * pc_pad,
+                bytes_accessed=rows * w32 * 4 + n_pad * pc_pad * 4
+                + 9 * nt_pad * pc_pad * 4,
+                transcendentals=0,
+            ),
+        )(packed_t, pop2, yt, ysum2, th2)
+        return [o[:pc] for o in outs]
+
+    # chunk the phenotype axis: the unpacked g matrix + per-chunk scores
+    # must fit VMEM alongside the y block, which caps a chunk at ~256
+    # columns; chunks re-run the unpack, so P <= 256 (the reference's
+    # default shape) stays a single call
+    if p <= _P_CHUNK:
+        outs = call_chunk(y_padded, y_sum, thresh)
+    else:
+        parts = [call_chunk(y_padded[:, s:s + _P_CHUNK],
+                            y_sum[s:s + _P_CHUNK], thresh[s:s + _P_CHUNK])
+                 for s in range(0, p, _P_CHUNK)]
+        outs = [jnp.concatenate([pt[i] for pt in parts], axis=0)
+                for i in range(9)]
     return tuple(o[:p, :n_tiles] for o in outs)
 
 

@@ -602,3 +602,76 @@ def test_scan_step_compact_c2_matches_plain():
                          np.asarray(state_p.row_hi)),
         topk.decode_rows(np.asarray(final_c.row_lo),
                          np.asarray(final_c.row_hi)))
+
+
+def test_score_tilemax_chunked_and_blocked_matches_single(monkeypatch):
+    """Wide phenotype axis: the tilemax kernel chunks P past _P_CHUNK and
+    switches to revisited 128-lane output blocks past the VMEM plane
+    budget; both modes must reproduce the single-call kernel's planes
+    EXACTLY (interpret mode) — same per-element math, different storage."""
+    import jax as _jax
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import score as score_mod
+
+    rng = np.random.default_rng(23)
+    p_wide = 20
+    bits, packed, y, n_pad = rand_problem(rng, r=256, n=60, p=p_wide)
+    n = bits.shape[1]
+    yp, ysum = score_mod.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    th = jnp.asarray(rng.normal(size=p_wide).astype(np.float32)) ** 2
+
+    def run():
+        with pltpu.force_tpu_interpret_mode():
+            return [np.asarray(o) for o in
+                    score_mod.score_batch_t_pallas_tilemax(
+                        jnp.asarray(packed), pc, yp, ysum, th,
+                        n_used=n, min_count=2, tile_rows=64)]
+
+    ref = run()
+
+    # chunked path (chunk=8 < 20 columns)
+    _jax.clear_caches()
+    monkeypatch.setattr(score_mod, "_P_CHUNK", 8)
+    got = run()
+    for r_, g_ in zip(ref, got):
+        np.testing.assert_array_equal(g_, r_)
+
+    # + blocked store mode (budget 1 byte)
+    _jax.clear_caches()
+    monkeypatch.setattr(score_mod, "_VMEM_PLANE_BUDGET", 1)
+    got = run()
+    for r_, g_ in zip(ref, got):
+        np.testing.assert_array_equal(g_, r_)
+    _jax.clear_caches()
+
+
+def test_score_bmax_chunked_matches_xla(monkeypatch):
+    """score_batch_t_pallas[_bmax] P-chunking reproduces the single-call
+    result (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import score as score_mod
+
+    rng = np.random.default_rng(24)
+    bits, packed, y, n_pad = rand_problem(rng, r=128, n=50, p=12)
+    n = bits.shape[1]
+    yp, ysum = score_mod.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sc1 = score_mod.score_batch_t_pallas(
+            jnp.asarray(packed), pc, yp, ysum, n_used=n, min_count=2,
+            tile_rows=64)
+        b1s, b1m = score_mod.score_batch_t_pallas_bmax(
+            jnp.asarray(packed), pc, yp, ysum, n_used=n, min_count=2,
+            tile_rows=64, block=16)
+    monkeypatch.setattr(score_mod, "_P_CHUNK", 5)
+    with pltpu.force_tpu_interpret_mode():
+        sc2 = score_mod.score_batch_t_pallas(
+            jnp.asarray(packed), pc, yp, ysum, n_used=n, min_count=2,
+            tile_rows=64)
+        b2s, b2m = score_mod.score_batch_t_pallas_bmax(
+            jnp.asarray(packed), pc, yp, ysum, n_used=n, min_count=2,
+            tile_rows=64, block=16)
+    np.testing.assert_array_equal(np.asarray(sc1), np.asarray(sc2))
+    np.testing.assert_array_equal(np.asarray(b1s), np.asarray(b2s))
+    np.testing.assert_array_equal(np.asarray(b1m), np.asarray(b2m))
