@@ -277,6 +277,7 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
     cand_q = 64
     cand_c2 = 64 if cand_c >= 64 else None
+    buf_cap = (cand_c + 2 * (cand_c2 or cand_c)) * 16
 
     my_lo, my_hi = host_row_span(table_base, pid, n_proc)
     stream_tag = "dtable" if dtable_cache else "table"
@@ -306,7 +307,7 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
     yp, ysum = score_ops.prepare_phenotypes(
         np.asarray(pheno_values, np.float32), n_pad)
     ypr, ysr = replicated(mesh, np.asarray(yp), np.asarray(ysum))
-    state = init_global_buffered_state(mesh, p, k_eff, buf_cap=cand_c * 24)
+    state = init_global_buffered_state(mesh, p, k_eff, buf_cap=buf_cap)
     if resumed is not None:
         from ..ops import scanstep as _ss
         sh = NamedSharding(mesh, P(AXIS))

@@ -214,11 +214,15 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                      # candidate width)
     cand_c2 = 64 if cand_c >= 64 else None   # full top-3 capture only for
                      # the hottest 64 tiles (sort width c + 2*c2, not 3c)
+    # buffer capacity must be a multiple of the append width (c + 2*c2);
+    # 16 appends per flush reproduces the flagship 6144 cap
+    cand_w = cand_c + 2 * (cand_c2 or cand_c)
+    buf_cap = cand_w * 16
     if use_sharded:
         from ..parallel import sharding as shard_mod
         from jax.sharding import NamedSharding, PartitionSpec as _P
         state = shard_mod.init_sharded_buffered_state(
-            mesh, p, k_eff, buf_cap=cand_c * 24, seed_state=resumed_plain)
+            mesh, p, k_eff, buf_cap=buf_cap, seed_state=resumed_plain)
         step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
@@ -229,7 +233,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         ysum = jax.device_put(np.asarray(ysum), rep)
         put = lambda a: jax.device_put(a, batch_sharding)
     else:
-        state = ss.init_buffered_state(p, k_eff, buf_cap=cand_c * 24)
+        state = ss.init_buffered_state(p, k_eff, buf_cap=buf_cap)
         if resumed_plain is not None:
             state = state._replace(scores=resumed_plain.scores,
                                    row_lo=resumed_plain.row_lo,

@@ -466,3 +466,41 @@ def test_run_distributed_gwas_single_process(tmp_path):
     with _pytest.raises(ValueError, match="single-process"):
         run_distributed_gwas(GWASConfig(
             outdir=str(tmp_path / "x"), run_snps="one_step", **kw))
+
+
+def test_associate_midsize_n_top_width_divisibility(tmp_path):
+    """n_top between ~65 and 255 makes cand_c a non-power-of-two while
+    cand_c2 stays 64: the buffer capacity must still be a multiple of the
+    append width (regression: a cand_c*24 cap asserted out for
+    cand_c=100, width=228)."""
+    from kmersgwas_tpu.core import formats
+
+    rng = np.random.default_rng(33)
+    rows, n, kmer_len = 2000, 24, 15
+    names = [f"a{i}" for i in range(n)]
+    kmers = np.sort(rng.choice(1 << (2 * kmer_len), size=rows, replace=False)
+                    ).astype(np.uint64)
+    bits = rng.integers(0, 2, size=(rows, n)).astype(np.uint8)
+    padded = np.zeros((rows, 64), dtype=np.uint8)
+    padded[:, :n] = bits
+    pa = np.packbits(padded, axis=1, bitorder="little").view("<u8")
+    base = str(tmp_path / "pop")
+    formats.write_names(base, names)
+    with open(base + ".table", "wb") as f:
+        formats.write_table_header(f, n, kmer_len)
+        formats.write_table_rows(f, kmers, pa)
+    y = rng.normal(size=(n, 2))
+
+    res = scan_mod.associate(base, names, y, ["a", "b"], kmer_len=kmer_len,
+                             n_top=100, maf=0.05, mac=2, batch_size=12800)
+    # brute-force check of column 0's top-100
+    from kmersgwas_tpu.ops import score as so
+    import jax.numpy as jnp
+    reader = KmersTableReader(base, names_to_use=names)
+    b = next(reader.iter_batches(rows, scan_mod.effective_min_count(n, 0.05, 2)))
+    yp, ysum = so.prepare_phenotypes(np.asarray(y, np.float32), reader.w32 * 32)
+    sc = np.asarray(so.score_batch(jnp.asarray(b.packed),
+                                   jnp.asarray(b.popcnt), yp, ysum,
+                                   n_used=n, min_count=scan_mod.effective_min_count(n, 0.05, 2)))
+    order = np.argsort(-sc[:, 0], kind="stable")[:100]
+    assert set(res.rows[0].tolist()) == set(b.row_index[order].tolist())
