@@ -135,6 +135,20 @@ def _stats_device():
     return stack
 
 
+def _persist_kinship(cfg: GWASConfig, out: Path, K_full, log) -> None:
+    """Cache the computed kinship beside the table (so reruns and the
+    other stages find it) — falling back into `outdir` when the table's
+    directory is read-only (a common shared-FS deployment): the ~5-day
+    reference stage must never be lost to a permissions error."""
+    try:
+        kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
+    except OSError as e:
+        alt = out / "full_table.kinship"
+        kinship_mod.write_kinship(alt, K_full)
+        log(f"kinship cache beside the table failed ({e}); wrote {alt} — "
+            "pass it via --kinship on reruns")
+
+
 def run_gwas(cfg: GWASConfig) -> GWASResult:
     import time as _time
     out = Path(cfg.outdir)
@@ -197,7 +211,7 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
                                  if cfg.checkpoint_base else None),
                 checkpoint_every=cfg.checkpoint_every)
         kin_names = table_names
-        kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
+        _persist_kinship(cfg, out, K_full, log)
 
     used, y, K = intersect_accessions(accs, vals, kin_names, K_full, table_names)
     n = len(used)
@@ -535,7 +549,7 @@ def run_distributed_gwas(cfg: GWASConfig):
                                  if cfg.checkpoint_base else None),
                 checkpoint_every=cfg.checkpoint_every)
         if pid == 0:
-            kinship_mod.write_kinship(cfg.kmers_table + ".kinship", K_full)
+            _persist_kinship(cfg, out, K_full, log)
     kin_names = table_names
 
     used, y, K = intersect_accessions(accs, vals, kin_names, K_full,

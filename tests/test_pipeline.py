@@ -504,3 +504,35 @@ def test_associate_midsize_n_top_width_divisibility(tmp_path):
                                    n_used=n, min_count=scan_mod.effective_min_count(n, 0.05, 2)))
     order = np.argsort(-sc[:, 0], kind="stable")[:100]
     assert set(res.rows[0].tolist()) == set(b.row_index[order].tolist())
+
+
+def test_gwas_readonly_table_dir_kinship_fallback(tmp_path, monkeypatch):
+    """A read-only table directory (shared-FS deployment) must not crash
+    the kinship persist: the computed matrix falls back into outdir and
+    the pipeline completes. (Simulated via a write_kinship that refuses
+    the beside-the-table path — the suite runs as root, so permission
+    bits alone cannot block the write.)"""
+    import os
+    import kmersgwas_tpu.pipeline.gwas as gwas_mod
+
+    pop = build_population(tmp_path, n_samples=40, n_kmers=300, seed=12,
+                           causal_effect=3.0)
+    orig = gwas_mod.kinship_mod.write_kinship
+
+    def deny_beside_table(path, Kmat):
+        if str(path) == pop["base"] + ".kinship":
+            raise OSError(30, "Read-only file system")
+        return orig(path, Kmat)
+
+    monkeypatch.setattr(gwas_mod.kinship_mod, "write_kinship",
+                        deny_beside_table)
+    res = run_gwas(GWASConfig(
+        pheno_path=str(pop["pheno_path"]), kmers_table=pop["base"],
+        outdir=str(tmp_path / "out"), kmer_len=K, n_kmers=15,
+        n_permutations=8, maf=0.05, mac=2, batch_size=200,
+        min_data_points=10, lmm_grid=32, lmm_refine=20))
+    assert res.n_tested > 0
+    assert (tmp_path / "out" / "full_table.kinship").exists()
+    assert not os.path.exists(pop["base"] + ".kinship")
+    assert "kinship cache beside the table failed" in \
+        (tmp_path / "out" / "log_file").read_text()
