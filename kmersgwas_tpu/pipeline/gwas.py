@@ -635,5 +635,11 @@ def run_distributed_gwas(cfg: GWASConfig):
         kmers=[np.asarray(kmer_of_row.take(rw), np.uint64)
                for _, rw in per_pheno],
         n_tested=n_tested, n_patterns=n_patterns, pa_rows=pa_of_row)
-    return _post_scan_stages(cfg, out, kmers_dir, result, tr, used, K, n,
-                             log, log_lines, stage_seconds)
+    res = _post_scan_stages(cfg, out, kmers_dir, result, tr, used, K, n,
+                            log, log_lines, stage_seconds)
+    # provenance: record the distributed topology in the summary
+    summary_path = out / "summary.json"
+    summary = json.loads(summary_path.read_text())
+    summary["n_processes"] = n_proc
+    summary_path.write_text(json.dumps(summary, indent=2))
+    return res
