@@ -42,6 +42,16 @@ def _add_gwas(sub):
                         "f32 profile-LL on the accelerator)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the scan over this many devices")
+    p.add_argument("--score_precision", default="default",
+                   choices=["default", "highest"],
+                   help="scan score-GEMM matmul precision on TPU (highest = "
+                        "f32-faithful, slower; candidates are exactly "
+                        "re-scored by the LMM either way)")
+    p.add_argument("--checkpoint", default=None,
+                   help="base path for resumable kinship/scan checkpoints "
+                        "(<base>.kin / <base>.scan)")
+    p.add_argument("--checkpoint_every", type=int, default=20,
+                   help="batches between checkpoint writes")
 
     def run(a):
         from ..pipeline.gwas import GWASConfig, run_gwas
@@ -59,7 +69,9 @@ def _add_gwas(sub):
             kinship_snps=a.kinship_snps,
             n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
             remove_intermediates=not a.dont_remove_intermediates,
-            lmm_backend=a.lmm_backend,
+            lmm_backend=a.lmm_backend, score_precision=a.score_precision,
+            checkpoint_base=a.checkpoint,
+            checkpoint_every=a.checkpoint_every,
             n_devices=a.devices))
         th5 = res.thresholds.get("5per")
         print(f"threshold_5per={th5 if th5 is not None else 'n/a'} "
@@ -96,6 +108,9 @@ def _add_gwas_mp(sub):
     p.add_argument("--dont_remove_intermediates", action="store_true")
     p.add_argument("--lmm_backend", default="auto",
                    choices=["auto", "host64", "device32"])
+    p.add_argument("--score_precision", default="default",
+                   choices=["default", "highest"],
+                   help="scan score-GEMM matmul precision on TPU")
     p.add_argument("--checkpoint", default=None,
                    help="base path for resumable per-process kinship/scan "
                         "checkpoints (<base>.kin.p<pid> / <base>.scan.p<pid>)")
@@ -122,7 +137,8 @@ def _add_gwas_mp(sub):
             dtable_cache=a.dtable_cache,
             n_extra_phenotype_kmers=a.n_extra_phenotype_kmers,
             remove_intermediates=not a.dont_remove_intermediates,
-            lmm_backend=a.lmm_backend, checkpoint_base=a.checkpoint,
+            lmm_backend=a.lmm_backend, score_precision=a.score_precision,
+            checkpoint_base=a.checkpoint,
             checkpoint_every=a.checkpoint_every))
         if res is not None:
             th5 = res.thresholds.get("5per")

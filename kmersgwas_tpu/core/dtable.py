@@ -28,8 +28,9 @@ from . import formats
 from .table import KmersTableReader
 
 MAGIC = b"KGTD"
-VERSION = 1
-_HDR = struct.Struct("<4sIQIIII")
+VERSION = 2                      # v2: +names_hash (accession-subset identity)
+_HDR = struct.Struct("<4sIQIIIIQ")
+_HDR_V1 = struct.Struct("<4sIQIIII")
 
 
 @dataclass
@@ -39,6 +40,18 @@ class DTableHeader:
     w32: int
     kmer_len: int
     min_count: int
+    names_hash: int | None = None   # None: legacy v1 file (unknown subset)
+
+
+def names_hash_of(names) -> int:
+    """64-bit identity of an ORDERED accession-name list. Column order
+    determines the plane bit layout, so the hash covers order too; two
+    different same-size subsets (or the same subset reordered) always get
+    different dtable identities — reusing a cache across them would silently
+    score the wrong accessions' genotype columns."""
+    import hashlib
+    h = hashlib.blake2b("\n".join(names).encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "little")
 
 
 def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
@@ -73,11 +86,13 @@ def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
     finally:
         for f in fh.values():
             f.close()
+    nhash = names_hash_of(reader.names)
     hdr = DTableHeader(n_rows=n_rows, n_used=reader.n_used, w32=reader.w32,
-                       kmer_len=reader.header.kmer_len, min_count=min_count)
+                       kmer_len=reader.header.kmer_len, min_count=min_count,
+                       names_hash=nhash)
     with open(str(out_path), "wb") as f:
         f.write(_HDR.pack(MAGIC, VERSION, n_rows, reader.n_used, reader.w32,
-                          reader.header.kmer_len, min_count))
+                          reader.header.kmer_len, min_count, nhash))
         for section in ("kmers", "popcnt", "planes", "rows"):
             with open(spills[section], "rb") as pf:
                 while True:
@@ -95,12 +110,21 @@ class DTableReader:
     def __init__(self, path: str):
         self.path = str(path)
         with open(self.path, "rb") as f:
-            magic, ver, n_rows, n_used, w32, klen, minc = _HDR.unpack(
-                f.read(_HDR.size))
-        if magic != MAGIC or ver != VERSION:
+            raw = f.read(_HDR.size)
+        if raw[:4] != MAGIC:
             raise ValueError("not a kmersgwas_tpu .dtable")
-        self.hdr = DTableHeader(n_rows, n_used, w32, klen, minc)
-        off = _HDR.size
+        ver = struct.unpack_from("<I", raw, 4)[0]
+        if ver == VERSION:
+            _, _, n_rows, n_used, w32, klen, minc, nhash = _HDR.unpack(raw)
+            off = _HDR.size
+            self.hdr = DTableHeader(n_rows, n_used, w32, klen, minc, nhash)
+        elif ver == 1:          # legacy: no subset identity — callers must
+            _, _, n_rows, n_used, w32, klen, minc = _HDR_V1.unpack(
+                raw[:_HDR_V1.size])          # treat as stale (open_cache)
+            off = _HDR_V1.size
+            self.hdr = DTableHeader(n_rows, n_used, w32, klen, minc, None)
+        else:
+            raise ValueError(f"unsupported .dtable version {ver}")
         self.kmers = np.memmap(self.path, dtype="<u8", mode="r", offset=off,
                                shape=(n_rows,))
         off += 8 * n_rows
@@ -113,9 +137,35 @@ class DTableReader:
         self.src_rows = np.memmap(self.path, dtype="<i8", mode="r", offset=off,
                                   shape=(n_rows,))
 
+    def matches(self, *, min_count: int, n_used: int,
+                names_hash: int) -> bool:
+        """True iff this cache was built for exactly this filter AND this
+        ordered accession subset. A legacy v1 header (no stored hash) never
+        matches: (min_count, n_used) alone cannot distinguish two different
+        same-size subsets, and reusing such a cache would silently score the
+        wrong accessions' columns (ADVICE r4, medium)."""
+        return (self.hdr.min_count == min_count
+                and self.hdr.n_used == n_used
+                and self.hdr.names_hash == names_hash)
+
     def iter_batches(self, batch_size: int, start_row: int = 0):
         """Yield (start, planes, popcnt_f32, src_rows) memmap slices."""
         for s in range(start_row, self.hdr.n_rows, batch_size):
             e = min(s + batch_size, self.hdr.n_rows)
             yield s, self.planes[s:e], self.popcnt[s:e].astype(np.float32), \
                 np.asarray(self.src_rows[s:e])
+
+
+def open_cache(path: str, *, min_count: int, n_used: int, names_hash: int):
+    """Open a .dtable cache ONLY if it matches (filter, subset identity);
+    returns None when the file is absent, unreadable, a legacy v1 cache, or
+    built for a different filter/accession subset — callers then rebuild."""
+    import os
+    if not os.path.exists(str(path)):
+        return None
+    try:
+        dt = DTableReader(path)
+    except (ValueError, struct.error, OSError):
+        return None
+    return dt if dt.matches(min_count=min_count, n_used=n_used,
+                            names_hash=names_hash) else None

@@ -156,15 +156,19 @@ def _span_dtable(table_base: str, cache_base: str, names_to_use,
     from ..core import dtable as dt_mod
     my_cache = (f"{cache_base}.mc{min_count}.n{n_used}.p{pid}of{n_proc}"
                 if n_proc > 1 else str(cache_base))
-    if _os.path.exists(my_cache):
-        dt = dt_mod.DTableReader(my_cache)
-        if dt.hdr.min_count == min_count and dt.hdr.n_used == n_used:
-            return dt
-        # stale cache for a different filter/subset: the plain-named
-        # (single-process) cache may belong to another stage — leave it
-        # alone unless the caller owns it (kinship_from_table semantics)
-        if not rebuild_stale:
-            return None
+    used_names = (list(names_to_use) if names_to_use is not None
+                  else formats.read_names(table_base))
+    nhash = dt_mod.names_hash_of(used_names)
+    dt = dt_mod.open_cache(my_cache, min_count=min_count, n_used=n_used,
+                           names_hash=nhash)
+    if dt is not None:
+        return dt
+    if _os.path.exists(my_cache) and not rebuild_stale:
+        # stale cache (different filter/subset/legacy header): the
+        # plain-named (single-process) cache may belong to another stage —
+        # leave it alone unless the caller owns it (kinship_from_table
+        # semantics)
+        return None
     dt_mod.build_dtable(table_base, my_cache, names_to_use=names_to_use,
                         min_count=min_count,
                         start_row=span_lo, end_row=span_hi)
@@ -176,24 +180,35 @@ def _union_patterns_across_processes(patterns) -> int:
 
     Pattern hashes are shard-local (each table row lives on exactly one
     process), but the SAME presence/absence pattern can occur in several
-    spans, so the global distinct count needs a set union: lengths are
-    allgathered first, every process pads its sorted hash array to the max
-    and allgathers, then unions with the true lengths. One collective,
-    at the very end (reference semantics:
-    src/kmers_multiple_databases.cpp:377-380)."""
+    spans, so the global distinct count needs a set union. The union runs in
+    BOUNDED fixed-size rounds: each round allgathers one `chunk`-hash slice
+    of every process's sorted array and merges it into a running sorted
+    union, so peak extra host memory is O(n_proc * chunk * 8B) + the union
+    itself — never the O(n_proc * max_set) full padded matrix, which at
+    1e8-1e9 distinct patterns would be multi-GB per host at the very end of
+    a long scan (ADVICE r4). Collectives happen at the very end only
+    (reference semantics: src/kmers_multiple_databases.cpp:377-380)."""
     from jax.experimental import multihost_utils
+    chunk = 1 << 22                       # 32 MB/process/round
     local = patterns.sorted_hashes()
     lens = np.asarray(multihost_utils.process_allgather(
         np.int64(len(local)))).ravel()
     mx = int(lens.max())
     if mx == 0:
         return 0
-    padded = np.zeros(mx, np.uint64)
-    padded[:len(local)] = local
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    gathered = gathered.reshape(len(lens), mx)
-    return len(np.unique(np.concatenate(
-        [gathered[i, :n] for i, n in enumerate(lens)])))
+    merged = np.empty(0, np.uint64)
+    for s in range(0, mx, chunk):
+        width = min(chunk, mx - s)
+        padded = np.zeros(width, np.uint64)
+        take = local[s:s + width]
+        padded[:len(take)] = take
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        gathered = gathered.reshape(len(lens), width)
+        pieces = [gathered[i, :max(0, min(int(n) - s, width))]
+                  for i, n in enumerate(lens)]
+        merged = np.union1d(merged, np.concatenate(pieces)) \
+            if any(len(p) for p in pieces) else merged
+    return len(merged)
 
 
 def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,

@@ -94,10 +94,18 @@ def meta_arrays(meta: dict | None) -> dict:
 
 def check_meta(z, meta: dict | None, path: str) -> None:
     """Raise if a checkpoint's stored fingerprint conflicts with `meta`.
-    Checkpoints written without a fingerprint (or loads that pass none)
-    skip the check for backward compatibility."""
-    if not meta or "meta_keys" not in getattr(z, "files", ()):
+    A checkpoint that carries NO fingerprint while the caller expects one is
+    also refused: a pre-fingerprint file written under a different
+    topology/table could otherwise resume silently mis-spanned — exactly the
+    failure fingerprints exist to prevent (ADVICE r4). Loads that pass no
+    meta skip the check."""
+    if not meta:
         return
+    if "meta_keys" not in getattr(z, "files", ()):
+        raise ValueError(
+            f"checkpoint {path} carries no topology fingerprint but this "
+            f"run requires one ({sorted(meta)}); refusing to resume — "
+            f"delete the checkpoint files to restart clean")
     stored = dict(zip((str(k) for k in z["meta_keys"]),
                       (int(v) for v in z["meta_vals"])))
     bad = {k: (stored[k], int(v)) for k, v in meta.items()

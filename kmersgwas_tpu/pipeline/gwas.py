@@ -83,6 +83,12 @@ class GWASConfig:
                                         # per-process suffixes in gwas-mp)
     checkpoint_every: int = 20          # batches between checkpoint writes
                                         # (both stages)
+    score_precision: str = "default"    # scan score-GEMM precision:
+                                        # "default" (bf16 products, ~2e-3
+                                        # relative — candidates are exactly
+                                        # re-scored by the LMM) | "highest"
+                                        # (f32-faithful, 3-6x slower); same
+                                        # knob as associate --score_precision
 
 
 @dataclass
@@ -267,6 +273,7 @@ def run_gwas(cfg: GWASConfig) -> GWASResult:
             batch_size=cfg.batch_size, count_patterns=cfg.pattern_counter,
             use_pallas=cfg.use_pallas, dtable_cache=cfg.dtable_cache,
             first_phenotype_top=cfg.n_extra_phenotype_kmers, mesh=mesh,
+            score_precision=cfg.score_precision,
             checkpoint_path=(cfg.checkpoint_base + ".scan"
                              if cfg.checkpoint_base else None),
             checkpoint_every=cfg.checkpoint_every)
@@ -432,6 +439,7 @@ def _post_scan_stages(cfg: GWASConfig, out: Path, kmers_dir: Path, result,
         # x samples; ~1e-3 relative deviation from the f64 route — see
         # PARITY.md)
         "lmm_backend": backend,
+        "score_precision": cfg.score_precision,
         "n_pass_5per": len(pass5), "n_pass_10per": len(pass10),
         "stage_seconds": {k: round(v, 3) for k, v in stage_seconds.items()},
     }, indent=2))
@@ -449,7 +457,9 @@ def _pa_bits(pa_words: np.ndarray, n: int) -> np.ndarray:
 def _pa_bits_batch(pa_words: np.ndarray, n: int) -> np.ndarray:
     """(m, n64) packed uint64 -> (m, n) float64 bit matrix, one unpack."""
     if pa_words.size == 0:
-        return np.empty((pa_words.shape[0], n))
+        # zeros, not empty: a zero-row caller must never consume
+        # uninitialized allele frequencies (ADVICE r4)
+        return np.zeros((pa_words.shape[0], n))
     bits = np.unpackbits(np.ascontiguousarray(pa_words).view(np.uint8),
                          axis=1, bitorder="little")
     return bits[:, :n].astype(np.float64)
@@ -615,6 +625,7 @@ def run_distributed_gwas(cfg: GWASConfig):
             first_phenotype_top=cfg.n_extra_phenotype_kmers,
             count_patterns=cfg.pattern_counter,
             dtable_cache=cfg.dtable_cache,
+            score_precision=cfg.score_precision,
             checkpoint_path=(cfg.checkpoint_base + ".scan"
                              if cfg.checkpoint_base else None),
             checkpoint_every=cfg.checkpoint_every)

@@ -98,14 +98,16 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
     if dtable_cache:
         import os
         from ..core import dtable as dt_mod
+        nhash = dt_mod.names_hash_of(reader.names)
         if not os.path.exists(dtable_cache):
             dt_mod.build_dtable(table_base, dtable_cache,
                                 names_to_use=names_to_use,
                                 min_count=min_count)
-        cand = dt_mod.DTableReader(dtable_cache)
-        if (cand.hdr.min_count == min_count
-                and cand.hdr.n_used == reader.n_used):
-            dt = cand            # else: stale cache for a different filter
+        dt = dt_mod.open_cache(dtable_cache, min_count=min_count,
+                               n_used=reader.n_used, names_hash=nhash)
+        # None: stale cache for a different filter/subset (or legacy v1) —
+        # fall back to the raw-table route rather than clobbering a cache
+        # another stage may own
 
     stream_tag = "dtable" if dt is not None else "table"
     ckpt_meta = {"table_rows": reader.n_rows_total, "n_used": reader.n_used,

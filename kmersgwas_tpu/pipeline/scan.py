@@ -244,13 +244,10 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     dt = None
     if dtable_cache:
         from ..core import dtable as dt_mod
-        import os
-        if os.path.exists(dtable_cache):
-            dt = dt_mod.DTableReader(dtable_cache)
-            if (dt.hdr.min_count != min_count
-                    or dt.hdr.n_used != n_used):
-                dt = None  # stale cache for a different filter/subset
-        if dt is None:
+        nhash = dt_mod.names_hash_of(reader.names)
+        dt = dt_mod.open_cache(dtable_cache, min_count=min_count,
+                               n_used=n_used, names_hash=nhash)
+        if dt is None:   # absent, legacy, or a different filter/subset
             dt_mod.build_dtable(table_base, dtable_cache,
                                 names_to_use=pheno_accessions,
                                 min_count=min_count)

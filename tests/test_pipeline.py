@@ -302,6 +302,112 @@ def test_dtable_roundtrip_and_scan_equivalence(tmp_path):
     assert cached.n_tested == direct.n_tested
 
 
+def test_dtable_cache_refused_for_different_subset(tmp_path):
+    """Two DIFFERENT same-size accession subsets must never share a dtable
+    cache: (min_count, n_used) alone cannot tell them apart, and reusing the
+    cache would silently score the wrong accessions' genotype columns
+    (ADVICE r4, medium). The cache header's names_hash forces a rebuild."""
+    from kmersgwas_tpu.core import dtable as dt_mod
+    pop = build_population(tmp_path, n_samples=20, n_kmers=300)
+    names = pop["names"]
+    sub_a, sub_b = names[:12], names[4:16]          # same size, different
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=(12, 2))
+    cache = str(tmp_path / "c.dtable")
+    kw = dict(kmer_len=K, n_top=15, maf=0.05, mac=2, batch_size=64)
+    scan_mod.associate(pop["base"], sub_a, y, ["a", "b"],
+                       dtable_cache=cache, **kw)
+    assert dt_mod.DTableReader(cache).hdr.names_hash == \
+        dt_mod.names_hash_of(sub_a)
+    direct_b = scan_mod.associate(pop["base"], sub_b, y, ["a", "b"], **kw)
+    cached_b = scan_mod.associate(pop["base"], sub_b, y, ["a", "b"],
+                                  dtable_cache=cache, **kw)
+    assert cached_b.n_tested == direct_b.n_tested
+    for j in range(2):
+        assert set(cached_b.kmers[j].tolist()) == \
+            set(direct_b.kmers[j].tolist())
+        np.testing.assert_allclose(np.sort(cached_b.scores[j]),
+                                   np.sort(direct_b.scores[j]), rtol=1e-6)
+    # the cache now carries sub_b's identity (it was rebuilt, not reused)
+    assert dt_mod.DTableReader(cache).hdr.names_hash == \
+        dt_mod.names_hash_of(sub_b)
+    # a REORDERED identical subset is also a different bit layout
+    assert dt_mod.names_hash_of(list(reversed(sub_b))) != \
+        dt_mod.names_hash_of(sub_b)
+
+
+def test_dtable_legacy_v1_cache_is_stale(tmp_path):
+    """A v1 cache (no stored subset identity) reads fine via DTableReader
+    but is refused by open_cache, so production paths rebuild it."""
+    from kmersgwas_tpu.core import dtable as dt_mod
+    pop = build_population(tmp_path, n_samples=12, n_kmers=150)
+    p2 = str(tmp_path / "v2.dtable")
+    dt_mod.build_dtable(pop["base"], p2, min_count=2, batch_rows=64)
+    v2 = dt_mod.DTableReader(p2)
+    assert v2.matches(min_count=2, n_used=12,
+                      names_hash=dt_mod.names_hash_of(pop["names"]))
+    # rewrite as v1: old header layout + identical body
+    with open(p2, "rb") as f:
+        f.seek(dt_mod._HDR.size)
+        body = f.read()
+    p1 = str(tmp_path / "v1.dtable")
+    with open(p1, "wb") as f:
+        f.write(dt_mod._HDR_V1.pack(dt_mod.MAGIC, 1, v2.hdr.n_rows,
+                                    v2.hdr.n_used, v2.hdr.w32,
+                                    v2.hdr.kmer_len, v2.hdr.min_count))
+        f.write(body)
+    legacy = dt_mod.DTableReader(p1)
+    assert legacy.hdr.names_hash is None
+    assert np.array_equal(np.asarray(legacy.kmers), np.asarray(v2.kmers))
+    assert dt_mod.open_cache(p1, min_count=2, n_used=12,
+                             names_hash=dt_mod.names_hash_of(pop["names"])
+                             ) is None
+
+
+def test_checkpoint_missing_fingerprint_refused(tmp_path):
+    """A checkpoint carrying NO topology fingerprint must be refused by a
+    load that expects one (ADVICE r4): a pre-fingerprint file from another
+    topology could otherwise resume silently mis-spanned."""
+    from kmersgwas_tpu.ops import topk as topk_ops
+    from kmersgwas_tpu.pipeline import checkpoint as ckpt
+    st = topk_ops.TopKState(scores=np.zeros((1, 2), np.float32),
+                            row_lo=np.zeros((1, 2), np.int32),
+                            row_hi=np.zeros((1, 2), np.int32))
+    p = str(tmp_path / "ck")
+    ckpt.save_scan_state(p, st, 10, 10, meta=None)
+    with pytest.raises(ValueError, match="no topology fingerprint"):
+        ckpt.load_scan_state(p, meta={"table_rows": 5})
+    assert ckpt.load_scan_state(p) is not None      # meta-less load still ok
+    ckpt.save_kinship_state(p, np.zeros((2, 2), np.int64), 1, 1, meta=None)
+    with pytest.raises(ValueError, match="no topology fingerprint"):
+        ckpt.load_kinship_state(p, meta={"n_proc": 2})
+
+
+def test_gwas_score_precision_plumbed(tmp_path, monkeypatch):
+    """GWASConfig.score_precision reaches the scan and is recorded in
+    summary.json (VERDICT r4 #6)."""
+    import json
+    pop = build_population(tmp_path, n_samples=30, n_kmers=200, seed=9,
+                           causal_effect=3.0)
+    captured = {}
+    orig = scan_mod.associate
+
+    def spy(*args, **kwargs):
+        captured["score_precision"] = kwargs.get("score_precision")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(scan_mod, "associate", spy)
+    run_gwas(GWASConfig(
+        pheno_path=str(pop["pheno_path"]), kmers_table=pop["base"],
+        outdir=str(tmp_path / "o"), kmer_len=K, n_kmers=15,
+        n_permutations=5, maf=0.05, mac=2, batch_size=100,
+        min_data_points=10, lmm_grid=16, lmm_refine=10,
+        score_precision="highest"))
+    assert captured["score_precision"] == "highest"
+    summary = json.loads((tmp_path / "o" / "summary.json").read_text())
+    assert summary["score_precision"] == "highest"
+
+
 def test_scan_checkpoint_resume_dtable(tmp_path):
     """Resume on the dtable fast path: checkpoints store the dtable stream
     position (VERDICT weak #4) and a checkpoint from the wrong stream kind
