@@ -120,15 +120,18 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
             acc.total, acc.n_rows, start_row = resumed
 
     if dt is not None:
-        # dtable rows are already MAC-filtered and packed: feed directly;
-        # checkpoint positions are DTABLE row indices (stream-tagged)
+        # dtable rows are already MAC-filtered and packed: zero-copy memmap
+        # slices with readahead on a prefetch thread (pipeline/feed.py), so
+        # cold-cache page-in overlaps the device GEMM; checkpoint positions
+        # are DTABLE row indices (stream-tagged)
+        from .feed import kinship_feed
+        from .scan import _prefetch
         batch_i = 0
-        for s_, planes, _, rows in dt.iter_batches(batch_size,
-                                                   start_row=start_row):
-            r = len(rows)
+        for s_, r, planes in _prefetch(
+                kinship_feed(dt, batch_size, start_row=start_row), depth=2):
             if r == 0:
                 continue
-            acc.add(to_dev(np.ascontiguousarray(planes)))
+            acc.add(to_dev(planes))
             batch_i += 1
             if checkpoint_path and batch_i % checkpoint_every == 0:
                 acc.flush()

@@ -244,6 +244,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     dt = None
     if dtable_cache:
         from ..core import dtable as dt_mod
+        from . import feed as feed_mod
         nhash = dt_mod.names_hash_of(reader.names)
         dt = dt_mod.open_cache(dtable_cache, min_count=min_count,
                                n_used=n_used, names_hash=nhash)
@@ -252,31 +253,37 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
                                 names_to_use=pheno_accessions,
                                 min_count=min_count)
             dt = dt_mod.DTableReader(dtable_cache)
-        dt_start = (start_row // batch_size) * batch_size  # batch-aligned
-        n_tested -= start_row - dt_start                   # re-tested rows
-        batches = ((pl_, pc_, rw_) for _, pl_, pc_, rw_
-                   in dt.iter_batches(batch_size, start_row=dt_start))
-        next_pos = dt_start
+        # stream at the device-batch quantum so full batches pass as raw
+        # zero-copy memmap slices (pipeline/feed.py — single-touch feed).
+        # Checkpoint positions are EXACT dtable row indices and the feed can
+        # start at any offset, so a resume re-tests nothing (re-appending
+        # already-counted rows would duplicate them in the top-k state).
+        prepared = feed_mod.dtable_feed(dt, pad_to, start_row=start_row,
+                                        want_patterns=patterns is not None)
+        next_pos = start_row
     else:
         batches = ((b.packed, b.popcnt, b.row_index) for b
                    in reader.iter_batches(batch_size, min_count,
                                           start_row=start_row))
         next_pos = start_row
 
-    def prepare(args):
-        """Host-side batch prep (runs on the prefetch thread): pad to the
-        fixed device shape and pre-encode row ids."""
-        b_packed, b_popcnt, b_rows = args
-        r = len(b_rows)
-        packed = np.zeros((pad_to, reader.w32), np.uint32)
-        packed[:r] = b_packed
-        popcnt = np.zeros(pad_to, np.float32)
-        popcnt[:r] = b_popcnt
-        rows = np.zeros(pad_to, np.int64)
-        rows[:r] = b_rows
-        lo, hi = topk_ops.encode_rows(rows)
-        pats = np.asarray(b_packed) if patterns is not None else None
-        return r, packed, popcnt, lo, hi, int(b_rows[-1]) if r else 0, pats
+        def prepare(args):
+            """Host-side batch prep (runs on the prefetch thread): pad to
+            the fixed device shape and pre-encode row ids."""
+            b_packed, b_popcnt, b_rows = args
+            r = len(b_rows)
+            packed = np.zeros((pad_to, reader.w32), np.uint32)
+            packed[:r] = b_packed
+            popcnt = np.zeros(pad_to, np.float32)
+            popcnt[:r] = b_popcnt
+            rows = np.zeros(pad_to, np.int64)
+            rows[:r] = b_rows
+            lo, hi = topk_ops.encode_rows(rows)
+            pats = np.asarray(b_packed) if patterns is not None else None
+            pos_after = int(b_rows[-1]) + 1 if r else -1   # -1: keep prior
+            return r, packed, popcnt, lo, hi, pos_after, pats
+
+        prepared = map(prepare, batches)
 
     def step(st, packed, popcnt, lo, hi):
         if use_sharded:
@@ -300,16 +307,17 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     timer = StageTimer("scan", "kmers", quiet=progress is not None)
     t_stream = _time.perf_counter()
     batch_i = 0
-    for r, packed, popcnt, lo, hi, last_row, pats in _prefetch(
-            map(prepare, batches), depth=2):
+    for r, packed, popcnt, lo, hi, pos_after, pats in _prefetch(
+            prepared, depth=2):
         n_tested += r
         if pats is not None:
             patterns.add(pats)
         state = step(state, packed, popcnt, lo, hi)
         batch_i += 1
-        # stream position after this batch: dtable rows advance by the batch
-        # quantum; table rows by the last absolute row consumed
-        next_pos = (next_pos + batch_size if dtable_cache else last_row + 1)
+        # stream position after this batch: dtable row index past the slice,
+        # or the last absolute .table row consumed + 1
+        if pos_after >= 0:
+            next_pos = pos_after
         if checkpoint_path and batch_i % checkpoint_every == 0:
             ckpt.save_scan_state(checkpoint_path, plain_state(state),
                                  next_pos, n_tested, stream=stream_tag,

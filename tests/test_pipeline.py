@@ -444,6 +444,47 @@ def test_scan_checkpoint_resume_dtable(tmp_path):
         assert set(r3.kmers[j].tolist()) == set(full.kmers[j].tolist())
 
 
+def test_scan_midstream_crash_resume_dtable_no_duplicates(tmp_path):
+    """A crash BETWEEN batches resumes from the exact dtable row position —
+    no row is ever re-appended into the carried top-k state (a duplicate
+    would occupy two slots and evict a genuine candidate)."""
+    pop = build_population(tmp_path, n_samples=16, n_kmers=400)
+    n = len(pop["names"])
+    rng = np.random.default_rng(8)
+    y = rng.normal(size=(n, 2))
+    dtc = str(tmp_path / "pop.dtable")
+    kw = dict(kmer_len=K, n_top=20, maf=0.05, mac=2, batch_size=50,
+              dtable_cache=dtc)
+    full = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"], **kw)
+    ck = str(tmp_path / "mid_ck")
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = [0]
+
+    def crash_after_3(r):
+        calls[0] += 1
+        if calls[0] == 3:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                           checkpoint_path=ck, checkpoint_every=1,
+                           progress=crash_after_3, **kw)
+    from kmersgwas_tpu.pipeline import checkpoint as ckpt
+    st = ckpt.load_scan_state(ck)
+    assert st is not None and st[3] == "dtable"
+    assert 0 < st[1] < full.n_tested          # genuinely mid-stream
+    res = scan_mod.associate(pop["base"], pop["names"], y, ["a", "b"],
+                             checkpoint_path=ck, checkpoint_every=1, **kw)
+    assert res.n_tested == full.n_tested
+    for j in range(2):
+        assert set(res.kmers[j].tolist()) == set(full.kmers[j].tolist())
+        np.testing.assert_allclose(np.sort(res.scores[j]),
+                                   np.sort(full.scores[j]), rtol=1e-6)
+
+
 def test_pattern_counter_amortized_equals_union():
     """_PatternCounter's deferred compaction gives identical counts to a
     naive per-batch set-union across many small batches (property test for
