@@ -72,13 +72,18 @@ def measure_host_feed(dtable: str, batch_size: int = 2_000_000,
     standing in for device_put's one host copy (on co-located hardware the
     DMA from the staging buffer is free for the host CPU).
 
-    Returns (warm_rows_per_sec, cold_rows_per_sec, disk_gb_per_sec):
+    Returns (warm_rows_per_sec, cold_rows_per_sec, disk_gb_per_sec,
+             warm_small_batch_rows_per_sec):
       warm  — table resident in page cache (the steady state of a scan on a
-              RAM-sized host, and of every pass after the first);
+              RAM-sized host, and of every pass after the first), at the
+              production batch size;
       cold  — first-touch from disk, overlap ON: prep+page-in on the
               prefetch thread while the main thread copies — the measured
               floor is this host's disk, reported alongside;
-      disk  — raw sequential read bandwidth for context.
+      disk  — raw sequential read bandwidth for context;
+      warm_small_batch — warm rate at a 512k-row quantum (smaller staging
+              buffers copy ~1.7x faster on this host; the feed-optimal
+              configuration when the step rate allows it).
     """
     import os
     from kmersgwas_tpu.core.dtable import DTableReader
@@ -86,22 +91,27 @@ def measure_host_feed(dtable: str, batch_size: int = 2_000_000,
     from kmersgwas_tpu.pipeline.scan import _prefetch
 
     dt = DTableReader(dtable)
-    pad_to = ((batch_size + tile - 1) // tile) * tile
-    stage = np.empty((pad_to, dt.hdr.w32), np.uint32)
 
     def drop_cache():
         fd = os.open(dtable, os.O_RDONLY)
         os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
         os.close(fd)
 
-    def one_pass():
-        t0 = time.perf_counter()
-        fed = 0
-        for r, packed, pc, lo, hi, pos, pats in _prefetch(
-                feed_mod.dtable_feed(dt, pad_to), depth=2):
-            np.copyto(stage[: len(packed)], packed)   # device_put stand-in
-            fed += r
-        return fed / (time.perf_counter() - t0)
+    def make_pass(bs: int):
+        pad_to = ((bs + tile - 1) // tile) * tile
+        stage = np.empty((pad_to, dt.hdr.w32), np.uint32)
+
+        def one_pass():
+            t0 = time.perf_counter()
+            fed = 0
+            for r, packed, pc, lo, hi, pos, pats in _prefetch(
+                    feed_mod.dtable_feed(dt, pad_to), depth=2):
+                np.copyto(stage[: len(packed)], packed)  # device_put stand-in
+                fed += r
+            return fed / (time.perf_counter() - t0)
+        return one_pass
+
+    one_pass = make_pass(batch_size)
 
     # raw disk bandwidth (cold sequential read of the planes section)
     drop_cache()
@@ -120,7 +130,10 @@ def measure_host_feed(dtable: str, batch_size: int = 2_000_000,
     cold = one_pass()
     one_pass()                      # settle the cache
     warm = max(one_pass(), one_pass())
-    return warm, cold, disk_gbps
+    small = make_pass(1 << 19)
+    small()
+    warm_small = max(small(), small())
+    return warm, cold, disk_gbps, warm_small
 
 
 def streaming(n_rows: int = 8_000_000, batch_size: int = 2_000_000,
@@ -142,9 +155,10 @@ def streaming(n_rows: int = 8_000_000, batch_size: int = 2_000_000,
     rng = np.random.default_rng(1)
     y = rng.normal(size=(n, 101))
 
-    warm, cold, disk_gbps = measure_host_feed(dtable, batch_size)
-    print(f"host feed: warm {warm/1e6:.1f}M rows/s, cold {cold/1e6:.1f}M "
-          f"rows/s (disk {disk_gbps:.2f} GB/s)", file=sys.stderr, flush=True)
+    warm, cold, disk_gbps, warm_small = measure_host_feed(dtable, batch_size)
+    print(f"host feed: warm {warm/1e6:.1f}M rows/s (512k-batch "
+          f"{warm_small/1e6:.1f}M), cold {cold/1e6:.1f}M rows/s "
+          f"(disk {disk_gbps:.2f} GB/s)", file=sys.stderr, flush=True)
 
     counted = [0]
     t0 = time.perf_counter()
@@ -161,6 +175,7 @@ def streaming(n_rows: int = 8_000_000, batch_size: int = 2_000_000,
                 f"{res.n_tested} rows, memmap->prefetch->device_put->step)",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
         "host_feed_rows_per_sec_warm": round(warm, 1),
+        "host_feed_rows_per_sec_warm_512k_batch": round(warm_small, 1),
         "host_feed_rows_per_sec_cold": round(cold, 1),
         "disk_seq_read_gb_per_sec": round(disk_gbps, 3),
         "sub_stage_seconds": {k: round(v, 2) for k, v in res.timings.items()},
@@ -380,13 +395,14 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
     # Reported side by side with the kernel rate in the same JSON line.
     try:
         _, dtable, *_ = _synthetic_pop(8_000_000, "/tmp/kgt_stream_bench")
-        feed_warm, feed_cold, disk_gbps = measure_host_feed(dtable)
-        print(f"host feed: warm {feed_warm/1e6:.1f}M rows/s, cold "
-              f"{feed_cold/1e6:.1f}M rows/s (disk {disk_gbps:.2f} GB/s)",
-              file=sys.stderr, flush=True)
+        feed_warm, feed_cold, disk_gbps, feed_small = \
+            measure_host_feed(dtable)
+        print(f"host feed: warm {feed_warm/1e6:.1f}M rows/s (512k-batch "
+              f"{feed_small/1e6:.1f}M), cold {feed_cold/1e6:.1f}M rows/s "
+              f"(disk {disk_gbps:.2f} GB/s)", file=sys.stderr, flush=True)
     except Exception as e:                       # feed measure must never
         print(f"host-feed measure failed: {e}", file=sys.stderr)   # kill
-        feed_warm = feed_cold = disk_gbps = None                   # the bench
+        feed_warm = feed_cold = disk_gbps = feed_small = None      # the bench
 
     win_s = np.array(win_s)
     rates = S * rows / win_s
@@ -431,10 +447,15 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
         # scales with feed cores/memory bandwidth on a production host)
         "host_feed_rows_per_sec_warm":
             round(feed_warm, 1) if feed_warm else None,
+        "host_feed_rows_per_sec_warm_512k_batch":
+            round(feed_small, 1) if feed_small else None,
         "host_feed_rows_per_sec_cold":
             round(feed_cold, 1) if feed_cold else None,
         "disk_seq_read_gb_per_sec":
             round(disk_gbps, 3) if disk_gbps else None,
+        # min(kernel, feed) at the SAME 2M-row batch size; the 512k-batch
+        # feed rate above is feed-side headroom (the kernel at 512k steps
+        # measured ~90M rows/s on this relay — tools/prof_r5_feed.py)
         "colocated_end_to_end_kmers_per_sec_bound":
             round(min(med, feed_warm), 1) if feed_warm else None,
     }))

@@ -6,16 +6,23 @@ becomes the bottleneck. A `.dtable` materializes the squeeze ONCE for a
 given accession subset:
 
   header: magic 'KGTD' | uint32 version | uint64 n_rows | uint32 n_used |
-          uint32 w32 | uint32 kmer_len | uint32 min_count_applied
-  body:   three contiguous sections —
+          uint32 w32 | uint32 kmer_len | uint32 min_count_applied |
+          uint64 names_hash (v2+)
+  body:   contiguous sections —
           kmers   (n_rows) uint64
           popcnt  (n_rows) uint16
           planes  (n_rows, w32) uint32   (LSB-first, lane-padded)
+          rows    (n_rows) int64         (source .table row index)
+          pop32   (n_rows) float32       (v3+: popcnt pre-cast for the feed)
+          row_lo  (n_rows) int32         (v3+: pre-encoded row-id halves,
+          row_hi  (n_rows) int32          ops/topk.encode_rows layout)
 
 Streaming a batch is then one memmap slice + one device_put: no unpack, no
-popcount, no filtering on the host. Row indices in the .dtable refer back to
-the source .table rows (stored as a fourth section) so winner export still
-resolves against the canonical table.
+popcount, no filtering — and with v3 no per-batch host arithmetic AT ALL
+(every array the scan step consumes is a raw zero-copy slice; the
+device_put staging copy is the single host byte-touch per byte). Row
+indices in the .dtable refer back to the source .table rows so winner
+export still resolves against the canonical table.
 """
 from __future__ import annotations
 
@@ -26,9 +33,11 @@ import numpy as np
 
 from . import formats
 from .table import KmersTableReader
+from ..ops.topk import encode_rows as _encode_rows
 
 MAGIC = b"KGTD"
-VERSION = 2                      # v2: +names_hash (accession-subset identity)
+VERSION = 3     # v2: +names_hash (accession-subset identity)
+                # v3: +pop32/row_lo/row_hi zero-prep feed sections
 _HDR = struct.Struct("<4sIQIIIIQ")
 _HDR_V1 = struct.Struct("<4sIQIIII")
 
@@ -71,7 +80,8 @@ def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
     import os
     reader = KmersTableReader(table_base, names_to_use=names_to_use)
     spills = {s: str(out_path) + f".tmp.{s}"
-              for s in ("kmers", "popcnt", "planes", "rows")}
+              for s in ("kmers", "popcnt", "planes", "rows",
+                        "pop32", "row_lo", "row_hi")}
     n_rows = 0
     fh = {s: open(p, "wb") for s, p in spills.items()}
     try:
@@ -82,6 +92,10 @@ def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
             batch.popcnt.astype("<u2").tofile(fh["popcnt"])
             np.ascontiguousarray(batch.packed).astype("<u4").tofile(fh["planes"])
             batch.row_index.astype("<i8").tofile(fh["rows"])
+            batch.popcnt.astype("<f4").tofile(fh["pop32"])
+            lo, hi = _encode_rows(batch.row_index)
+            lo.astype("<i4").tofile(fh["row_lo"])
+            hi.astype("<i4").tofile(fh["row_hi"])
             n_rows += batch.n_rows
     finally:
         for f in fh.values():
@@ -93,7 +107,8 @@ def build_dtable(table_base: str, out_path: str, *, names_to_use=None,
     with open(str(out_path), "wb") as f:
         f.write(_HDR.pack(MAGIC, VERSION, n_rows, reader.n_used, reader.w32,
                           reader.header.kmer_len, min_count, nhash))
-        for section in ("kmers", "popcnt", "planes", "rows"):
+        for section in ("kmers", "popcnt", "planes", "rows",
+                        "pop32", "row_lo", "row_hi"):
             with open(spills[section], "rb") as pf:
                 while True:
                     chunk = pf.read(1 << 26)
@@ -136,6 +151,18 @@ class DTableReader:
         off += 4 * n_rows * w32
         self.src_rows = np.memmap(self.path, dtype="<i8", mode="r", offset=off,
                                   shape=(n_rows,))
+        off += 8 * n_rows
+        if ver >= 3:             # zero-prep feed sections
+            self.pop32 = np.memmap(self.path, dtype="<f4", mode="r",
+                                   offset=off, shape=(n_rows,))
+            off += 4 * n_rows
+            self.row_lo = np.memmap(self.path, dtype="<i4", mode="r",
+                                    offset=off, shape=(n_rows,))
+            off += 4 * n_rows
+            self.row_hi = np.memmap(self.path, dtype="<i4", mode="r",
+                                    offset=off, shape=(n_rows,))
+        else:                    # pre-v3: the feed computes these per batch
+            self.pop32 = self.row_lo = self.row_hi = None
 
     def matches(self, *, min_count: int, n_used: int,
                 names_hash: int) -> bool:
@@ -143,7 +170,9 @@ class DTableReader:
         ordered accession subset. A legacy v1 header (no stored hash) never
         matches: (min_count, n_used) alone cannot distinguish two different
         same-size subsets, and reusing such a cache would silently score the
-        wrong accessions' columns (ADVICE r4, medium)."""
+        wrong accessions' columns (ADVICE r4, medium). A v2 cache with a
+        matching hash IS valid (the feed computes the v3 sections per batch
+        at ~20 ms/2M rows — no forced rebuild of a multi-GB cache)."""
         return (self.hdr.min_count == min_count
                 and self.hdr.n_used == n_used
                 and self.hdr.names_hash == names_hash)

@@ -89,6 +89,7 @@ def dtable_feed(dt, pad_to: int, *, start_row: int = 0,
         except OSError:
             pass
 
+    v3 = dt.pop32 is not None           # zero-prep sections present
     try:
         advise(start_row)
         for s in range(start_row, hdr.n_rows, pad_to):
@@ -96,10 +97,13 @@ def dtable_feed(dt, pad_to: int, *, start_row: int = 0,
             r = e - s
             advise(e)                       # kernel readahead for the NEXT
             planes = dt.planes[s:e]         # slice while we prepare this one
-            pc = dt.popcnt[s:e].astype(np.float32)
-            rows = np.asarray(dt.src_rows[s:e])
             if r == pad_to:
-                lo, hi = topk_ops.encode_rows(rows)
+                if v3:                      # v3: EVERY array is a raw slice
+                    pc = dt.pop32[s:e]
+                    lo, hi = dt.row_lo[s:e], dt.row_hi[s:e]
+                else:                       # v2: compute per batch
+                    pc = dt.popcnt[s:e].astype(np.float32)
+                    lo, hi = topk_ops.encode_rows(np.asarray(dt.src_rows[s:e]))
                 # zero-copy: touch one byte per 4 KB page so the dispatch
                 # thread's staging copy reads warm cache (rows are 128 B at
                 # N=1008 -> every 32nd row starts a new page; stride by the
@@ -108,6 +112,9 @@ def dtable_feed(dt, pad_to: int, *, start_row: int = 0,
                 np.add.reduce(planes[::stride, 0], dtype=np.uint64)
                 packed, popcnt = planes, pc
             else:
+                pc = (dt.pop32[s:e] if v3
+                      else dt.popcnt[s:e].astype(np.float32))
+                rows = np.asarray(dt.src_rows[s:e])
                 packed, popcnt, rows_p = scratch.pad(planes, pc, rows)
                 lo, hi = topk_ops.encode_rows(rows_p)
             pats = np.asarray(planes) if want_patterns else None
