@@ -318,11 +318,13 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
         )(jnp.reshape(seed, (1,)))
         return packed_t, pc[0]
 
+    # r5 flagship: the in-kernel running top-W epilogue (cand_w) — the
+    # kernel carries the candidate list across tiles; the XLA side only
+    # sorts 256 lanes, gathers rows, and appends (tools/prof_r5_epi.py)
     step = functools.partial(
         ss.scan_step_compact.__wrapped__, y_padded=yp, y_sum=ysum,
-        n_used=n_used, min_count=min_count, kernel="pallas", cand_c=256,
-        cand_k=2048, tile_rows=2048, cand_q=64, cand_c2=64,
-        pre_transposed=True)
+        n_used=n_used, min_count=min_count, kernel="pallas", cand_w=256,
+        cand_k=2048, tile_rows=2048, cand_q=64, pre_transposed=True)
 
     @jax.jit
     def window(state, seed, base):
@@ -340,7 +342,7 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
 
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    state = ss.init_buffered_state(p, k, buf_cap=256 * 24)
+    state = ss.init_buffered_state(p, k, buf_cap=12288)
     seed = jax.device_put(jnp.int32(1 << 20))
     base = jax.device_put(jnp.int32(0))
     state, seed, base = window(state, seed, base)

@@ -274,6 +274,37 @@ def _tilemax(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
     return tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt
 
 
+def _topw_xla(packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
+              tile_rows, cand_w, pre_transposed=False, precision="default"):
+    """XLA mirror of score.score_batch_t_pallas_topw (CPU/tests): the same
+    top-W candidate-value multiset and per-column guards, returned in
+    (value desc, lane asc) order. The kernel's replace-min list may keep a
+    DIFFERENT twin of an equal-valued pair at the W boundary — exact
+    either way under the caller's min <= thresh guard (the straddling
+    twins are then cold dead weight), so hot-prefix (value, lane) pairs
+    and all decisions agree between the two implementations."""
+    tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
+        packed, popcnt, y_padded, y_sum, thresh, n_used, min_count,
+        "xla", tile_rows, pre_transposed, precision)
+    p, t = tmax.shape
+    rows = t * tile_rows
+    th2 = thresh[:, None]
+    okc = (jnp.all(cnt <= 3, axis=1)
+           & jnp.all((tmax2 <= th2) | (n2 == 1), axis=1)
+           & jnp.all((tmax3 <= th2) | (n3 == 1), axis=1))
+    tiles = jnp.arange(t, dtype=jnp.int32)[None, :] * tile_rows
+    cat_v = jnp.concatenate([tmax, tmax2, tmax3], axis=1)
+    cat_g = jnp.minimum(jnp.concatenate(
+        [tiles + targ, tiles + targ2, tiles + targ3], axis=1), rows - 1)
+    if cat_v.shape[1] < cand_w:                    # fewer candidates than W
+        pad = cand_w - cat_v.shape[1]
+        cat_v = jnp.pad(cat_v, ((0, 0), (0, pad)),
+                        constant_values=-jnp.inf)
+        cat_g = jnp.pad(cat_g, ((0, 0), (0, pad)))
+    neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
+    return (-neg_v)[:, :cand_w], g_s[:, :cand_w], okc
+
+
 def _flush_merge(st: BufferedTopKState, sc, bmax, tile_rows, row_lo, row_hi,
                  cand_k: int, block: int = 16) -> BufferedTopKState:
     """Exact wide merge of (state + buffer + this batch's scores) -> flushed
@@ -344,7 +375,7 @@ def _flush_state_only(st: BufferedTopKState) -> BufferedTopKState:
                    static_argnames=("n_used", "min_count", "kernel", "block",
                                     "cand_c", "cand_k", "tile_rows",
                                     "cand_q", "cand_c2", "pre_transposed",
-                                    "precision"))
+                                    "precision", "col_group", "cand_w"))
 def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       row_lo, row_hi, y_padded, y_sum, *, n_used: int,
                       min_count: int, kernel: str = "xla", block: int = 16,
@@ -352,7 +383,9 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
                       tile_rows: int = 2048, cand_q: int | None = None,
                       cand_c2: int | None = None,
                       pre_transposed: bool = False,
-                      precision: str = "default") -> BufferedTopKState:
+                      precision: str = "default",
+                      col_group: int = 128,
+                      cand_w: int | None = None) -> BufferedTopKState:
     """One streamed batch -> buffered top-k state via the compact tile-max
     path (see block comment above). Args as scan_step_buffered, plus
     tile_rows (must divide the padded batch rows). The buffer capacity must
@@ -385,102 +418,248 @@ def scan_step_compact(state: BufferedTopKState, packed, popcnt,
     thresh; the 3rd is <= the 2nd) forces the fallback otherwise, which at
     steady state means "> c2 tiles hold multiple hot lanes" — an extreme
     batch. Shrinks the candidate width from 3c to c + 2*c2 (the two-key
-    sort is a major share of the post-kernel cost)."""
+    sort is a major share of the post-kernel cost).
+
+    col_group: the exactness guards and the append/fallback decision run
+    PER GROUP of <= col_group phenotype columns (round 5). With hundreds
+    of permutation columns an all-columns AND trips the exact fallback for
+    every column whenever ONE column is hot; per-group decisions confine
+    the fallback to the offending <= col_group columns (its score
+    recompute is chunked to just those columns), so P ~ 1000 scans keep
+    the compact fast path for the rest. Groups share the scalar buf_n
+    (appends stay lockstep; a falling-back group's slot is filled with
+    -inf and its buffer rows are cleared after its merge — dead weight the
+    next flush drops), so the state layout, checkpoints, and the sharded
+    wrapper are unchanged. col_group >= P reproduces the single-decision
+    behavior except that a fallback no longer resets the shared buffer.
+
+    cand_w: IN-KERNEL running top-W mode (round 5). The kernel itself
+    carries the sorted (value, global lane) candidate list across tiles
+    (score._score_t_topw_kernel), so the entire XLA-side extraction
+    (top_k over tile maxima, take_alongs, the two-key sort) disappears
+    and cand_c/cand_c2 are unused. The exactness guards move in-kernel
+    (with a strict-order condition replacing the sort's tie repair); the
+    W-th candidate <= thresh check replaces excl_ok. Must be a multiple
+    of 128 on the pallas path; the XLA mirror (_topw_xla) reproduces the
+    decisions and hot candidates exactly for tests."""
     k = state.scores.shape[1]
     cap = state.buf_v.shape[1]
     rows = packed.shape[1] if pre_transposed else packed.shape[0]
     assert rows % tile_rows == 0
     n_tiles = rows // tile_rows
-    c = min(cand_c, n_tiles)
-    c2 = min(cand_c2, c) if cand_c2 else c
-    width = c + 2 * c2
-    assert cap % width == 0
-    q = (cand_q if cand_q and cand_q < width and cap % cand_q == 0
-         else None)
-    tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
-        packed, popcnt, y_padded, y_sum, state.thresh,
-        n_used, min_count, kernel, tile_rows, pre_transposed, precision)
-    if c < n_tiles:
-        v_all, ti = jax.lax.top_k(tmax, c + 1)
-        v1, ti_c = v_all[:, :c], ti[:, :c]
-        excl_ok = jnp.all(v_all[:, c] <= state.thresh)
-    else:                       # every tile kept: nothing excluded
-        v1, ti_c = jax.lax.top_k(tmax, c)
-        excl_ok = jnp.bool_(True)
-    v2_full = jnp.take_along_axis(tmax2, ti_c, axis=1)
-    v2, v3 = v2_full[:, :c2], jnp.take_along_axis(
-        tmax3, ti_c[:, :c2], axis=1)
-    g1 = ti_c * tile_rows + jnp.take_along_axis(targ, ti_c, axis=1)
-    g2 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
-        targ2, ti_c[:, :c2], axis=1)
-    g3 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
-        targ3, ti_c[:, :c2], axis=1)
-    # c + 2*c2 candidates per batch (top-c2 tiles' top-3, the rest's top-1);
-    # sort by (value desc, in-batch lane asc) so equal values keep
-    # ascending-row order in the buffer — the heap's earliest-wins tie rule
-    cat_v = jnp.concatenate([v1, v2, v3], axis=1)
-    cat_g = jnp.minimum(jnp.concatenate([g1, g2, g3], axis=1), rows - 1)
-    neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
-    v = -neg_v
-    # exact iff: excluded tiles are cold, no tile has > 3 hot lanes, the
-    # sum-encoded 2nd/3rd lanes are unambiguous wherever their value is
-    # hot, and kept tiles past rank c2 hold no hot 2nd lane (their 2nd/3rd
-    # are not captured; a hot one forces the fallback)
-    th2 = state.thresh[:, None]
-    ok = (excl_ok & jnp.all(cnt <= 3)
-          & jnp.all((tmax2 <= th2) | (n2 == 1))
-          & jnp.all((tmax3 <= th2) | (n3 == 1)))
-    if c2 < c:
-        ok = ok & jnp.all(v2_full[:, c2:] <= th2)
+    p = state.scores.shape[0]
+    if cand_w is not None:
+        width = cand_w
+        assert cap % width == 0
+        q = (cand_q if cand_q and cand_q < width and cap % cand_q == 0
+             else None)
+        if kernel == "pallas":
+            from .score import score_batch_t_pallas_topw
+            v, g_s, okc = score_batch_t_pallas_topw.__wrapped__(
+                packed, popcnt, y_padded, y_sum, state.thresh,
+                n_used=n_used, min_count=min_count, tile_rows=tile_rows,
+                cand_w=cand_w, pre_transposed=pre_transposed,
+                precision=precision)
+        else:
+            v, g_s, okc = _topw_xla(
+                packed, popcnt, y_padded, y_sum, state.thresh, n_used,
+                min_count, tile_rows, cand_w, pre_transposed, precision)
+        # (value desc, lane asc): restores the buffer's earliest-row tie
+        # discipline that the kernel's replace-min order does not carry
+        # (stable no-op on the already-sorted XLA mirror output)
+        neg_v, g_s = jax.lax.sort(
+            (-v, jnp.minimum(g_s, rows - 1)), dimension=1, num_keys=2)
+        v = -neg_v
+        # candidates that fell off the W-th slot are <= v[:, -1]; dropping
+        # them is exact only when they are cold (the excl_ok analogue)
+        okc = okc & (v[:, -1] <= state.thresh)
+    else:
+        c = min(cand_c, n_tiles)
+        c2 = min(cand_c2, c) if cand_c2 else c
+        width = c + 2 * c2
+        assert cap % width == 0
+        q = (cand_q if cand_q and cand_q < width and cap % cand_q == 0
+             else None)
+        tmax, targ, tmax2, targ2, tmax3, targ3, n2, n3, cnt = _tilemax(
+            packed, popcnt, y_padded, y_sum, state.thresh,
+            n_used, min_count, kernel, tile_rows, pre_transposed, precision)
+        if c < n_tiles:
+            v_all, ti = jax.lax.top_k(tmax, c + 1)
+            v1, ti_c = v_all[:, :c], ti[:, :c]
+            excl_ok_c = v_all[:, c] <= state.thresh        # per column
+        else:                   # every tile kept: nothing excluded
+            v1, ti_c = jax.lax.top_k(tmax, c)
+            excl_ok_c = jnp.ones((p,), jnp.bool_)
+        v2_full = jnp.take_along_axis(tmax2, ti_c, axis=1)
+        v2, v3 = v2_full[:, :c2], jnp.take_along_axis(
+            tmax3, ti_c[:, :c2], axis=1)
+        g1 = ti_c * tile_rows + jnp.take_along_axis(targ, ti_c, axis=1)
+        g2 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
+            targ2, ti_c[:, :c2], axis=1)
+        g3 = ti_c[:, :c2] * tile_rows + jnp.take_along_axis(
+            targ3, ti_c[:, :c2], axis=1)
+        # c + 2*c2 candidates per batch (top-c2 tiles' top-3, the rest's
+        # top-1); sort by (value desc, in-batch lane asc) so equal values
+        # keep ascending-row order in the buffer — the heap's
+        # earliest-wins tie rule
+        cat_v = jnp.concatenate([v1, v2, v3], axis=1)
+        cat_g = jnp.minimum(jnp.concatenate([g1, g2, g3], axis=1), rows - 1)
+        neg_v, g_s = jax.lax.sort((-cat_v, cat_g), dimension=1, num_keys=2)
+        v = -neg_v
+        # exact iff: excluded tiles are cold, no tile has > 3 hot lanes,
+        # the sum-encoded 2nd/3rd lanes are unambiguous wherever their
+        # value is hot, and kept tiles past rank c2 hold no hot 2nd lane
+        # (their 2nd/3rd are not captured; a hot one forces the fallback)
+        # — all PER COLUMN
+        th2 = state.thresh[:, None]
+        okc = (excl_ok_c & jnp.all(cnt <= 3, axis=1)
+               & jnp.all((tmax2 <= th2) | (n2 == 1), axis=1)
+               & jnp.all((tmax3 <= th2) | (n3 == 1), axis=1))
+        if c2 < c:
+            okc = okc & jnp.all(v2_full[:, c2:] <= th2, axis=1)
 
-    # narrow qualification: everything past the q-th sorted candidate is
-    # <= thresh in every column, so the tail is dead weight (strict
-    # displacement rule) and may be dropped exactly
-    narrow = (ok & jnp.all(v[:, q] <= state.thresh)) if q else jnp.bool_(False)
+    if p <= col_group:
+        # single decision group: the r4 path, bit-exact (incl. the
+        # buffer-resetting batch fallback)
+        ok = jnp.all(okc)
+        narrow = (ok & jnp.all(v[:, q] <= state.thresh)) if q \
+            else jnp.bool_(False)
 
-    # flush BEFORE appending if the incoming width won't fit; thresh only
-    # rises, so the `ok` decision made against the older (lower) thresh
-    # stays conservative
-    incoming = jnp.where(narrow, q, width) if q else width
-    state = jax.lax.cond(state.buf_n + incoming > cap, _flush_state_only,
-                         lambda s: s, state)
+        # flush BEFORE appending if the incoming width won't fit; thresh
+        # only rises, so the `ok` decision made against the older (lower)
+        # thresh stays conservative
+        incoming = jnp.where(narrow, q, width) if q else width
+        state = jax.lax.cond(state.buf_n + incoming > cap,
+                             _flush_state_only, lambda s: s, state)
 
-    # row-id resolution is DEFERRED into the branches: a gather from the
-    # (R,) row arrays costs ~1 ms at 3c width on TPU (serialized lowering),
-    # and the steady-state narrow append needs only the top q rows — the
-    # q-wide gather is ~3c/q times cheaper (measured tools/prof_window2.py)
-    def do_append(st: BufferedTopKState) -> BufferedTopKState:
-        at = (jnp.int32(0), st.buf_n)
-        return st._replace(
-            buf_v=jax.lax.dynamic_update_slice(st.buf_v, v, at),
-            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, row_lo[g_s], at),
-            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, row_hi[g_s], at),
-            buf_n=st.buf_n + width)
+        # row-id resolution is DEFERRED into the branches: a gather from
+        # the (R,) row arrays costs ~1 ms at 3c width on TPU (serialized
+        # lowering), and the steady-state narrow append needs only the top
+        # q rows — the q-wide gather is ~3c/q times cheaper (measured
+        # tools/prof_window2.py)
+        def do_append(st: BufferedTopKState) -> BufferedTopKState:
+            at = (jnp.int32(0), st.buf_n)
+            return st._replace(
+                buf_v=jax.lax.dynamic_update_slice(st.buf_v, v, at),
+                buf_lo=jax.lax.dynamic_update_slice(
+                    st.buf_lo, row_lo[g_s], at),
+                buf_hi=jax.lax.dynamic_update_slice(
+                    st.buf_hi, row_hi[g_s], at),
+                buf_n=st.buf_n + width)
 
-    def do_append_narrow(st: BufferedTopKState) -> BufferedTopKState:
-        at = (jnp.int32(0), st.buf_n)
-        g_q = g_s[:, :q]
-        return st._replace(
-            buf_v=jax.lax.dynamic_update_slice(st.buf_v, v[:, :q], at),
-            buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, row_lo[g_q], at),
-            buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, row_hi[g_q], at),
-            buf_n=st.buf_n + q)
+        def do_append_narrow(st: BufferedTopKState) -> BufferedTopKState:
+            at = (jnp.int32(0), st.buf_n)
+            g_q = g_s[:, :q]
+            return st._replace(
+                buf_v=jax.lax.dynamic_update_slice(st.buf_v, v[:, :q], at),
+                buf_lo=jax.lax.dynamic_update_slice(
+                    st.buf_lo, row_lo[g_q], at),
+                buf_hi=jax.lax.dynamic_update_slice(
+                    st.buf_hi, row_hi[g_q], at),
+                buf_n=st.buf_n + q)
 
-    def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
-        # hot batch: recompute full scores and run the exact wide merge
-        pk = packed.T if pre_transposed else packed
-        sc, bmax, tr = _scores_and_bmax(pk, popcnt, y_padded, y_sum,
-                                        n_used, min_count, kernel, block,
-                                        precision)
-        return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
-                            min(cand_k, sc.shape[1]), block)
+        def do_fallback(st: BufferedTopKState) -> BufferedTopKState:
+            # hot batch: recompute full scores and run the exact wide merge
+            pk = packed.T if pre_transposed else packed
+            sc, bmax, tr = _scores_and_bmax(pk, popcnt, y_padded, y_sum,
+                                            n_used, min_count, kernel,
+                                            block, precision)
+            return _flush_merge(st, sc, bmax, tr, row_lo, row_hi,
+                                min(cand_k, sc.shape[1]), block)
 
+        if q:
+            return jax.lax.cond(
+                ok,
+                lambda s: jax.lax.cond(narrow, do_append_narrow,
+                                       do_append, s),
+                do_fallback, state)
+        return jax.lax.cond(ok, do_append, do_fallback, state)
+
+    # ---- per-group decisions (P > col_group; round 5) ----
+    groups = [(g0, min(g0 + col_group, p))
+              for g0 in range(0, p, col_group)]
+    qual = [jnp.all(okc[g0:g1]) for g0, g1 in groups]
+    # the narrow decision is SHARED (appends advance buf_n in lockstep);
+    # falling-back groups' candidates are merged directly, so only
+    # qualifying columns constrain it
     if q:
-        return jax.lax.cond(
-            ok,
-            lambda s: jax.lax.cond(narrow, do_append_narrow, do_append, s),
-            do_fallback, state)
-    return jax.lax.cond(ok, do_append, do_fallback, state)
+        nar_c = v[:, q] <= state.thresh                       # (P,)
+        narrow = jnp.all(jnp.concatenate(
+            [jnp.where(qg, jnp.all(nar_c[g0:g1]), True)[None]
+             for qg, (g0, g1) in zip(qual, groups)]))
+    else:
+        narrow = jnp.bool_(False)
+    incoming = jnp.where(narrow, q, width) if q else width
+    state = jax.lax.cond(state.buf_n + incoming > cap,
+                         _flush_state_only, lambda s: s, state)
+
+    neg_inf_slot = jnp.full((1, width), -jnp.inf, jnp.float32)
+
+    def group_branches(g0, g1):
+        gw = g1 - g0
+
+        def sub(arr):
+            return jax.lax.dynamic_slice_in_dim(arr, g0, gw, axis=0)
+
+        def writeback(st, g_scores, g_lo, g_hi, g_bv, g_blo, g_bhi, g_th):
+            at2 = (jnp.int32(g0), jnp.int32(0))
+            return st._replace(
+                scores=jax.lax.dynamic_update_slice(st.scores, g_scores, at2),
+                row_lo=jax.lax.dynamic_update_slice(st.row_lo, g_lo, at2),
+                row_hi=jax.lax.dynamic_update_slice(st.row_hi, g_hi, at2),
+                buf_v=jax.lax.dynamic_update_slice(st.buf_v, g_bv, at2),
+                buf_lo=jax.lax.dynamic_update_slice(st.buf_lo, g_blo, at2),
+                buf_hi=jax.lax.dynamic_update_slice(st.buf_hi, g_bhi, at2),
+                thresh=jax.lax.dynamic_update_slice(st.thresh, g_th,
+                                                    (jnp.int32(g0),)))
+
+        def append_g(st: BufferedTopKState, w_app) -> BufferedTopKState:
+            at = (jnp.int32(g0), st.buf_n)
+            g_w = g_s[g0:g1, :w_app]
+            return st._replace(
+                buf_v=jax.lax.dynamic_update_slice(
+                    st.buf_v, v[g0:g1, :w_app], at),
+                buf_lo=jax.lax.dynamic_update_slice(
+                    st.buf_lo, row_lo[g_w], at),
+                buf_hi=jax.lax.dynamic_update_slice(
+                    st.buf_hi, row_hi[g_w], at))
+
+        def fallback_g(st: BufferedTopKState) -> BufferedTopKState:
+            # recompute ONLY this group's columns' scores (the kernels
+            # chunk the phenotype axis anyway), merge state+buffer+batch
+            # for the group, clear the group's buffer rows (its pending
+            # candidates were consumed; stale slots would double-count)
+            pk = packed.T if pre_transposed else packed
+            sc_g, bmax_g, tr = _scores_and_bmax(
+                pk, popcnt, y_padded[:, g0:g1], y_sum[g0:g1],
+                n_used, min_count, kernel, block, precision)
+            st_g = BufferedTopKState(
+                scores=sub(st.scores), row_lo=sub(st.row_lo),
+                row_hi=sub(st.row_hi), buf_v=sub(st.buf_v),
+                buf_lo=sub(st.buf_lo), buf_hi=sub(st.buf_hi),
+                buf_n=st.buf_n, thresh=jax.lax.dynamic_slice_in_dim(
+                    st.thresh, g0, gw, axis=0))
+            m = _flush_merge(st_g, sc_g, bmax_g, tr, row_lo, row_hi,
+                             min(cand_k, sc_g.shape[1]), block)
+            return writeback(st, m.scores, m.row_lo, m.row_hi,
+                             m.buf_v, m.buf_lo, m.buf_hi, m.thresh)
+
+        return append_g, fallback_g
+
+    for qg, (g0, g1) in zip(qual, groups):
+        append_g, fallback_g = group_branches(g0, g1)
+        if q:
+            state = jax.lax.cond(
+                qg,
+                lambda s, a=append_g: jax.lax.cond(
+                    narrow, lambda s2: a(s2, q), lambda s2: a(s2, width), s),
+                fallback_g, state)
+        else:
+            state = jax.lax.cond(
+                qg, lambda s, a=append_g: a(s, width), fallback_g, state)
+    # lockstep advance; a fallen-back group's fresh slot is already -inf
+    # (its whole buffer rows were cleared by the merge)
+    return state._replace(buf_n=state.buf_n + incoming)
 
 
 @functools.partial(jax.jit,

@@ -445,6 +445,184 @@ def score_batch_t_pallas_tilemax(packed, popcnt, y_padded, y_sum, thresh, *,
     return tuple(o[:p, :n_tiles] for o in outs)
 
 
+def _score_t_topw_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
+                         vref, gref, okref, *, n_used: int, min_count: int,
+                         tile_rows: int, prec: str = "default"):
+    """Round-5 kernel: the running top-W candidate list lives IN the kernel.
+
+    Each grid step scores one tile, extracts its top-3 (value, lane) with
+    the proven arithmetic-masking constructs, then INSERTS the three
+    (value, global-lane) pairs into a carried (P, W) sorted candidate list
+    held in revisited output blocks — a rank-compare + two selects per
+    insert. Earlier Mosaic versions hung on select folds fed by computed
+    broadcasts (tools/exp_kernel.py vir/via/vi2); the current toolchain
+    lowers them (case `topc`), which retires the whole XLA-side extraction
+    (lax.top_k over tile maxima + two-key sort + take_alongs) and shrinks
+    kernel outputs from nine (P, T) planes to two (P, W) ones.
+
+    The carried list is an UNSORTED top-W multiset maintained by
+    replace-min (argmin + one masked select per insert — cheaper than a
+    sorted shift-insert, measured ~2x on the VPU chain): an incoming value
+    replaces the current minimum lane iff it strictly beats it. The min is
+    monotone nondecreasing, so every dropped value is <= the final
+    minimum; the caller checks that minimum against thresh (the excl_ok
+    analogue) — under that guard ANY drop policy among equal values is
+    exact (the dropped twin is dead weight), and the caller's cheap
+    two-key sort (value desc, lane asc) re-establishes the buffer's
+    earliest-row tie discipline, so no insertion-order conditions are
+    needed.
+
+    Exactness bookkeeping (okref, running AND per column):
+      cnt <= 3            — no tile may hold a 4th hot lane (not captured)
+      hot => unambiguous  — the sum-encoded 2nd/3rd lanes must be unique
+        (a garbage lane for a genuinely hot value would corrupt the pair)
+    Fully-padded tiles produce -inf, which never strictly beats the
+    minimum (dropped).
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        vref[...] = jnp.full(vref.shape, -jnp.inf, jnp.float32)
+        gref[...] = jnp.zeros(gref.shape, jnp.int32)
+        okref[...] = jnp.ones(okref.shape, jnp.int32)
+
+    w = packed_ref[...]                                   # (W32, TR) uint32
+    yigi = _unpack_dot_t(w, yt_ref[...], prec)
+    n = jnp.float32(n_used)
+    n1 = pop_ref[...]                                     # (1, TR)
+    r = n * yigi - ysum_ref[...] * n1                     # (P_pad, TR)
+    denom = n * n1 - n1 * n1
+    score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+    ok = (n1 >= jnp.float32(min_count)) & ((n - n1) >= jnp.float32(min_count))
+    score = jnp.where(ok, score, 0.0)
+    score = jnp.where(n1 > 0, score, -jnp.inf)            # popcnt==0 = padding
+
+    th = th_ref[...]                                      # (P_pad, 1)
+    m1 = jnp.max(score, axis=1, keepdims=True)
+    a1 = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    idx_f = idx.astype(jnp.float32)
+    big = (idx == a1).astype(jnp.float32) * jnp.float32(-3e38)
+    score2 = score + big + big
+    m2 = jnp.max(score2, axis=1, keepdims=True)
+    eq2 = (score2 == m2).astype(jnp.float32)
+    n2 = jnp.sum(eq2, axis=1, keepdims=True).astype(jnp.int32)
+    a2 = jnp.minimum(jnp.sum(idx_f * eq2, axis=1, keepdims=True)
+                     .astype(jnp.int32), tile_rows - 1)
+    big2 = (idx == a2).astype(jnp.float32) * jnp.float32(-3e38)
+    score3 = score2 + big2 + big2
+    m3 = jnp.max(score3, axis=1, keepdims=True)
+    eq3 = (score3 == m3).astype(jnp.float32)
+    n3 = jnp.sum(eq3, axis=1, keepdims=True).astype(jnp.int32)
+    a3 = jnp.minimum(jnp.sum(idx_f * eq3, axis=1, keepdims=True)
+                     .astype(jnp.int32), tile_rows - 1)
+    cnt = jnp.sum((score > th).astype(jnp.int32), axis=1, keepdims=True)
+
+    g_ok = ((cnt <= 3)
+            & ((m2 <= th) | (n2 == 1)) & ((m3 <= th) | (n3 == 1)))
+    okref[...] = okref[...] * jnp.broadcast_to(g_ok.astype(jnp.int32),
+                                               okref.shape)
+
+    base = t * tile_rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, vref.shape, 1)
+    for m, a in ((m1, a1), (m2, a2), (m3, a3)):
+        g = base + a                                      # (P_pad, 1)
+        cur_v = vref[...]
+        cur_g = gref[...]
+        minv = jnp.min(cur_v, axis=1, keepdims=True)
+        am = jnp.argmin(cur_v, axis=1).astype(jnp.int32)[:, None]
+        hit = (lane == am) & jnp.broadcast_to(m > minv, cur_v.shape)
+        vref[...] = jnp.where(hit, jnp.broadcast_to(m, cur_v.shape), cur_v)
+        gref[...] = jnp.where(hit, jnp.broadcast_to(g, cur_g.shape), cur_g)
+
+
+@functools.partial(jax.jit, static_argnames=("n_used", "min_count",
+                                             "tile_rows", "cand_w",
+                                             "pre_transposed", "precision"))
+def score_batch_t_pallas_topw(packed, popcnt, y_padded, y_sum, thresh, *,
+                              n_used: int, min_count: int,
+                              tile_rows: int = 2048, cand_w: int = 128,
+                              pre_transposed: bool = False,
+                              precision: str = "default"):
+    """Fused scan kernel with the IN-KERNEL running top-W epilogue
+    (_score_t_topw_kernel). Returns (cand_v (P, W) f32 — the exact top-W
+    multiset per column, UNSORTED (replace-min order; callers two-key-sort
+    by (value desc, lane asc)), cand_g (P, W) int32 global batch lanes,
+    okc (P,) bool per-column exactness guard). W = cand_w must be a
+    multiple of 128 (lane-aligned output blocks)."""
+    if pre_transposed:
+        w32, rows = packed.shape
+    else:
+        rows, w32 = packed.shape
+    n_pad, p = y_padded.shape
+    assert n_pad == w32 * 32 and rows % tile_rows == 0
+    assert cand_w % 128 == 0
+    packed_t = packed if pre_transposed else packed.T
+    pop2 = popcnt[None, :]
+    n_tiles = rows // tile_rows
+    grid = (n_tiles,)
+
+    def call_chunk(y_chunk, ysum_chunk, th_chunk):
+        pc = y_chunk.shape[1]
+        pc_pad = ((pc + 7) // 8) * 8
+        yt = jnp.zeros((pc_pad, n_pad), jnp.float32).at[:pc, :].set(
+            y_chunk.T)
+        ysum2 = jnp.zeros((pc_pad, 1), jnp.float32).at[:pc, 0].set(
+            ysum_chunk)
+        th2 = jnp.full((pc_pad, 1), -jnp.inf, jnp.float32).at[:pc, 0].set(
+            th_chunk)
+        outs = pl.pallas_call(
+            functools.partial(_score_t_topw_kernel, n_used=n_used,
+                              min_count=min_count, tile_rows=tile_rows,
+                              prec=precision),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((w32, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((pc_pad, cand_w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, cand_w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((pc_pad, cand_w), jnp.float32),
+                jax.ShapeDtypeStruct((pc_pad, cand_w), jnp.int32),
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * n_pad * pc_pad,
+                bytes_accessed=rows * w32 * 4 + n_pad * pc_pad * 4
+                + (2 * cand_w + 128) * pc_pad * 4,
+                transcendentals=0,
+            ),
+        )(packed_t, pop2, yt, ysum2, th2)
+        return [o[:pc] for o in outs]
+
+    if p <= _P_CHUNK:
+        cv, cg, okp = call_chunk(y_padded, y_sum, thresh)
+    else:
+        parts = [call_chunk(y_padded[:, s:s + _P_CHUNK],
+                            y_sum[s:s + _P_CHUNK], thresh[s:s + _P_CHUNK])
+                 for s in range(0, p, _P_CHUNK)]
+        cv = jnp.concatenate([pt[0] for pt in parts], axis=0)
+        cg = jnp.concatenate([pt[1] for pt in parts], axis=0)
+        okp = jnp.concatenate([pt[2] for pt in parts], axis=0)
+    return cv, cg, okp[:, 0] > 0
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------

@@ -172,7 +172,8 @@ def build_sharded_scan_step_compact(mesh: Mesh, *, n_used: int,
                                     cand_k: int = 2048, tile_rows: int = 2048,
                                     cand_q: int | None = None,
                                     cand_c2: int | None = None,
-                                    precision: str = "default"):
+                                    precision: str = "default",
+                                    cand_w: int | None = None):
     """THE production multi-device scan step: the compact tile-max kernel +
     deferred top-k buffering (ops/scanstep.scan_step_compact) running
     independently on every device's row shard under `shard_map`. Same
@@ -189,7 +190,8 @@ def build_sharded_scan_step_compact(mesh: Mesh, *, n_used: int,
             state, packed, popcnt, lo, hi, yp, ysum, n_used=n_used,
             min_count=min_count, kernel=kernel, block=block,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile_rows,
-            cand_q=cand_q, cand_c2=cand_c2, precision=precision)
+            cand_q=cand_q, cand_c2=cand_c2, precision=precision,
+            cand_w=cand_w)
         return tuple(x[None] for x in new)
 
     sharded = jax.shard_map(

@@ -203,21 +203,27 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     quantum = n_devices * tile
     pad_to = ((batch_size + quantum - 1) // quantum) * quantum
 
-    # compact-step parameters: per-batch candidate width (tile maxima kept),
-    # wide extraction width for hot-batch fallbacks, buffer capacity (a
-    # state flush every 16 appended batches)
+    # compact-step parameters. Pallas (TPU production): the in-kernel
+    # running top-W epilogue (cand_w mode, r5 — the kernel carries the
+    # candidate list; no XLA-side top_k/sort machinery); buffer flushes
+    # every 192 narrow appends. XLA (CPU/tests): the tile-max extraction
+    # path (its _topw_xla mirror is exercised by ops tests; the c-path
+    # keeps CPU batch costs proportional to small test shapes).
     shard_rows = pad_to // n_devices
-    cand_c = min(256, k_eff, shard_rows // tile)
-    cand_k = min(max(cand_c, k_eff // 8), k_eff, shard_rows)
+    cand_k = min(max(256, k_eff // 8), k_eff, shard_rows)
     cand_q = 64      # narrow-append width (scan_step_compact ignores it
                      # unless it divides the buffer cap and is < the
                      # candidate width)
-    cand_c2 = 64 if cand_c >= 64 else None   # full top-3 capture only for
-                     # the hottest 64 tiles (sort width c + 2*c2, not 3c)
-    # buffer capacity must be a multiple of the append width (c + 2*c2);
-    # 16 appends per flush reproduces the flagship 6144 cap
-    cand_w = cand_c + 2 * (cand_c2 or cand_c)
-    buf_cap = cand_w * 16
+    if kernel == "pallas":
+        cand_w, cand_c, cand_c2 = 256, 256, None
+        buf_cap = 12288                  # lcm(256, 64) * 48
+    else:
+        cand_w = None
+        cand_c = min(256, k_eff, shard_rows // tile)
+        cand_c2 = 64 if cand_c >= 64 else None  # full top-3 capture only
+                     # for the hottest 64 tiles (width c + 2*c2, not 3c)
+        # buffer capacity must be a multiple of the append width
+        buf_cap = (cand_c + 2 * (cand_c2 or cand_c)) * 16
     if use_sharded:
         from ..parallel import sharding as shard_mod
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -226,7 +232,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         step_fn = shard_mod.build_sharded_scan_step_compact(
             mesh, n_used=n_used, min_count=min_count, kernel=kernel,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
-            cand_c2=cand_c2, precision=score_precision)
+            cand_c2=cand_c2, cand_w=cand_w, precision=score_precision)
         batch_sharding = NamedSharding(mesh, _P(shard_mod.AXIS))
         rep = NamedSharding(mesh, _P())
         yp = jax.device_put(np.asarray(yp), rep)
@@ -293,7 +299,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
             st, put(packed), put(popcnt), put(lo), put(hi), yp, ysum,
             n_used=n_used, min_count=min_count, kernel=kernel,
             cand_c=cand_c, cand_k=cand_k, tile_rows=tile, cand_q=cand_q,
-            cand_c2=cand_c2, precision=score_precision)
+            cand_c2=cand_c2, cand_w=cand_w, precision=score_precision)
 
     def plain_state(st):
         if use_sharded:

@@ -675,3 +675,167 @@ def test_score_bmax_chunked_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(sc1), np.asarray(sc2))
     np.testing.assert_array_equal(np.asarray(b1s), np.asarray(b2s))
     np.testing.assert_array_equal(np.asarray(b1m), np.asarray(b2m))
+
+
+def test_scan_step_compact_topw_matches_plain():
+    """cand_w (in-kernel running top-W mode, XLA mirror here) must produce
+    exactly the plain path's final top-k (values AND rows) across a
+    tie-heavy stream, with the narrow append, wide append, and fallback
+    branches all engaging."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(33)
+    n, p, k = 40, 3, 16
+    n_pad = 128
+    rows_per, n_batches = 256, 30
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    batches = []
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        batches.append((packed, pc, jnp.asarray(lo), jnp.asarray(hi)))
+
+    state_p = topk.init_state(p, k)
+    for packed, pc, lo, hi in batches:
+        state_p = scanstep.scan_step(state_p, packed, pc, lo, hi, yp, ysum,
+                                     n_used=n, min_count=min_count,
+                                     kernel="xla", cand_k=8)
+
+    for tile_rows in (64, 16):
+        state_c = scanstep.init_buffered_state(p, k, buf_cap=24)
+        n_narrow = n_wide = n_skip = 0
+        for packed, pc, lo, hi in batches:
+            prev_n = int(state_c.buf_n)
+            state_c = scanstep.scan_step_compact(
+                state_c, packed, pc, lo, hi, yp, ysum, n_used=n,
+                min_count=min_count, kernel="xla", cand_k=12,
+                tile_rows=tile_rows, cand_w=8, cand_q=4)
+            d = (int(state_c.buf_n) - prev_n) % 24
+            if d == 4:
+                n_narrow += 1
+            elif d == 8:
+                n_wide += 1
+            else:
+                n_skip += 1       # fallback (buf reset) or flush boundary
+        assert n_narrow >= 3, f"narrow append never engaged ({n_narrow})"
+        assert n_narrow + n_wide < n_batches, "fallback never engaged"
+        final_c = scanstep.flush_buffered(state_c)
+        np.testing.assert_array_equal(np.asarray(state_p.scores),
+                                      np.asarray(final_c.scores))
+        np.testing.assert_array_equal(
+            topk.decode_rows(np.asarray(state_p.row_lo),
+                             np.asarray(state_p.row_hi)),
+            topk.decode_rows(np.asarray(final_c.row_lo),
+                             np.asarray(final_c.row_hi)))
+
+
+def test_score_topw_pallas_interpret_matches_xla():
+    """The in-kernel running top-W kernel (interpret mode) must agree with
+    the XLA mirror: identical guards and candidate VALUES; identical
+    (value, lane) pairs on the hot prefix (cold tail order is free)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(34)
+    bits, packed, y, n_pad = rand_problem(rng, r=256, n=100, p=3)
+    n = bits.shape[1]
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+    pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+    sc_ref = np.asarray(score.score_batch(jnp.asarray(packed), pc, yp, ysum,
+                                          n_used=n, min_count=2)).T
+    sc_ref = np.where(np.asarray(pc)[None, :] > 0, sc_ref, -np.inf)
+    for th_val in (-np.inf, np.quantile(sc_ref, 0.9),
+                   np.quantile(sc_ref, 0.999), np.inf):
+        th = jnp.full((3,), th_val, jnp.float32)
+        v_x, g_x, ok_x = scanstep._topw_xla(
+            jnp.asarray(packed), pc, yp, ysum, th, n, 2, 64, 128)
+        with pltpu.force_tpu_interpret_mode():
+            v_p, g_p, ok_p = score.score_batch_t_pallas_topw(
+                jnp.asarray(packed), pc, yp, ysum, th,
+                n_used=n, min_count=2, tile_rows=64, cand_w=128)
+        # the kernel's replace-min list is unsorted; apply the step's
+        # (value desc, lane asc) repair sort before comparing
+        order = np.lexsort((np.asarray(g_p), -np.asarray(v_p)), axis=1)
+        v_p = np.take_along_axis(np.asarray(v_p), order, axis=1)
+        g_p = np.take_along_axis(np.asarray(g_p), order, axis=1)
+        np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_x))
+        np.testing.assert_allclose(v_p, np.asarray(v_x),
+                                   rtol=1e-5, atol=1e-5)
+        # hot prefix: exact (value, lane) agreement column by column —
+        # guaranteed whenever the step would USE the candidates (its
+        # min <= thresh guard holds, so boundary twins are cold)
+        for j in range(3):
+            if not (v_x[j, -1] <= th_val):
+                continue        # step falls back; outputs unused
+            hot = np.asarray(v_x[j]) > th_val
+            np.testing.assert_array_equal(g_p[j][hot],
+                                          np.asarray(g_x[j])[hot])
+        # every returned lane's true score equals the returned value
+        for vv, gg in ((v_p, g_p), (v_x, g_x)):
+            got = np.take_along_axis(sc_ref, np.asarray(gg), axis=1)
+            finite = np.isfinite(np.asarray(vv))
+            np.testing.assert_allclose(got[finite],
+                                       np.asarray(vv)[finite],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_scan_step_compact_colgroup_matches_plain():
+    """Per-column-group decisions (col_group < P): the final top-k must be
+    exactly the plain path's even when one column group is persistently
+    hot/tie-heavy (forcing ITS fallback while other groups keep appending),
+    for both the tile-max and the cand_w candidate paths."""
+    from kmersgwas_tpu.ops import scanstep
+    rng = np.random.default_rng(35)
+    n, p, k = 40, 10, 12
+    n_pad = 128
+    rows_per, n_batches = 256, 24
+    min_count = 2
+    y = rng.normal(size=(n, p))
+    y[:, 2] = np.sign(y[:, 2])       # quantized column -> heavy score ties
+    yp, ysum = score.prepare_phenotypes(y, n_pad)
+
+    batches = []
+    for b in range(n_batches):
+        bits = rng.integers(0, 2, size=(rows_per, n)).astype(np.uint8)
+        bits[:, 1] = bits[:, 0]      # duplicated accessions -> more ties
+        padded = np.zeros((rows_per, n_pad), dtype=np.uint8)
+        padded[:, :n] = bits
+        packed = jnp.asarray(bitplanes.pack_bits_np(padded))
+        pc = jnp.asarray(bits.sum(axis=1), jnp.float32)
+        lo, hi = topk.encode_rows(np.arange(b * rows_per, (b + 1) * rows_per))
+        batches.append((packed, pc, jnp.asarray(lo), jnp.asarray(hi)))
+
+    state_p = topk.init_state(p, k)
+    for packed, pc, lo, hi in batches:
+        state_p = scanstep.scan_step(state_p, packed, pc, lo, hi, yp, ysum,
+                                     n_used=n, min_count=min_count,
+                                     kernel="xla", cand_k=8)
+
+    for mode_kw in (dict(cand_c=4, cand_q=4),
+                    dict(cand_w=8, cand_q=4)):
+        # col_group=4 -> groups [0:4) [4:8) [8:10): decisions cross a
+        # group boundary and the last group is ragged
+        state_c = scanstep.init_buffered_state(p, k, buf_cap=24)
+        appended = 0
+        for packed, pc, lo, hi in batches:
+            prev = int(state_c.buf_n)
+            state_c = scanstep.scan_step_compact(
+                state_c, packed, pc, lo, hi, yp, ysum, n_used=n,
+                min_count=min_count, kernel="xla", cand_k=12,
+                tile_rows=16, col_group=4, **mode_kw)
+            if int(state_c.buf_n) != prev:
+                appended += 1
+        assert appended >= 5, f"group append path never engaged ({mode_kw})"
+        final_c = scanstep.flush_buffered(state_c)
+        np.testing.assert_array_equal(np.asarray(state_p.scores),
+                                      np.asarray(final_c.scores))
+        np.testing.assert_array_equal(
+            topk.decode_rows(np.asarray(state_p.row_lo),
+                             np.asarray(state_p.row_hi)),
+            topk.decode_rows(np.asarray(final_c.row_lo),
+                             np.asarray(final_c.row_hi)))

@@ -669,3 +669,59 @@ if __name__ == "__main__" and (len(sys.argv) > 1 and sys.argv[1] == "t4"):
             x3, np.clip(a2, 0, TR - 1)[:, :, None], 2)[:, :, 0]
         np.testing.assert_array_equal(picked[uniq], m2[uniq])
         print(f"m2 exact; a2 exact on unique-second ({uniq.mean():.2f} frac)")
+
+
+# --------------------------------------------------------------------------
+# topc: the in-kernel RUNNING top-c over tile maxima (VERDICT r4 #2).
+#
+# Minimal form: carry a sorted top-4 of (tile-max value, tile index) per
+# column across grid steps in two revisited output blocks; each step does
+# one insertion — a rank-compare + conditional shift, i.e. a chain of
+# where/selects whose operands are computed broadcasts (the tile max and
+# the carried lanes). This is exactly the pattern recorded above as
+# vi (CRASH) / vir / via / vi2 / t2 (HANG): if Mosaic ever learns to lower
+# it, the XLA-side lax.top_k over tile maxima (+ sort/gather, measured
+# ~0.4-0.6 ms/step at flagship shape) can move into the kernel epilogue.
+# Run under `timeout 300` — the failure mode is a compiler HANG, not an
+# exception.
+# --------------------------------------------------------------------------
+
+def k_topc(x_ref, v_ref, i_ref):
+    t = pl.program_id(0)
+    v = x_ref[...]
+    m1 = jnp.max(v, axis=1, keepdims=True)               # (P, 1) tile max
+
+    @pl.when(t == 0)
+    def _init():
+        v_ref[...] = jnp.full(v_ref.shape, -jnp.inf, jnp.float32)
+        i_ref[...] = jnp.zeros(i_ref.shape, jnp.int32)
+
+    cur_v = v_ref[...]                                   # (P, NT) carried,
+    cur_i = i_ref[...]                                   # top-4 in lanes 0-3
+    lane = jax.lax.broadcasted_iota(jnp.int32, cur_v.shape, 1)
+    mb = jnp.broadcast_to(m1, cur_v.shape)
+    tb = jnp.full(cur_i.shape, t, jnp.int32)
+    # rank of the incoming value among the carried lanes (computed
+    # broadcast feeding selects — the recorded hang pattern)
+    rank = jnp.sum((cur_v >= mb).astype(jnp.int32), axis=1, keepdims=True)
+    shift_v = jnp.concatenate(
+        [jnp.full((cur_v.shape[0], 1), -jnp.inf), cur_v[:, :-1]], axis=1)
+    shift_i = jnp.concatenate(
+        [jnp.zeros((cur_i.shape[0], 1), jnp.int32), cur_i[:, :-1]], axis=1)
+    keep = lane < rank
+    ins = lane == rank
+    v_ref[...] = jnp.where(keep, cur_v, jnp.where(ins, mb, shift_v))
+    i_ref[...] = jnp.where(keep, cur_i, jnp.where(ins, tb, shift_i))
+
+
+if __name__ == "__main__" and (len(sys.argv) > 1 and sys.argv[1] == "topc"):
+    outs, x = runN("in-kernel running top-c insert", k_topc,
+                   [jnp.float32, jnp.int32])
+    if outs is not None:
+        x3 = np.asarray(x).reshape(P_PAD, NT, TR)
+        tm = x3.max(axis=2)                  # (P, NT) tile maxima
+        order = np.argsort(-tm, axis=1, kind="stable")
+        vv = np.asarray(outs[0])[:, :4]
+        np.testing.assert_allclose(
+            vv, np.take_along_axis(tm, order[:, :4], axis=1))
+        print("running top-4 values verified")
