@@ -284,10 +284,16 @@ def _add_associate(sub):
     p.add_argument("--score_precision", default="default",
                    choices=["default", "highest"],
                    help="score GEMM matmul precision on TPU")
+    p.add_argument("--certify_topk", action="store_true",
+                   help="carry a candidate band and exactly re-score it in "
+                        "f64 at finalize, certifying the selected set "
+                        "equals the exact-score top-k (cheap alternative "
+                        "to --score_precision highest)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the scan over this many devices")
 
     def run(a):
+        import sys as _sys
         from ..core import formats
         from ..pipeline import scan
         mesh = None
@@ -302,7 +308,20 @@ def _add_associate(sub):
                              count_patterns=a.pattern_counter,
                              first_phenotype_top=a.first_phenotype_best,
                              use_pallas=True if a.pallas else "auto",
-                             score_precision=a.score_precision, mesh=mesh)
+                             score_precision=a.score_precision,
+                             certify_topk=a.certify_topk, mesh=mesh)
+        if res.certified is not None:
+            bad = [res.names[j] for j, c in enumerate(res.certified) if not c]
+            if bad:
+                print(f"WARNING: top-k certificate FAILED for "
+                      f"{len(bad)} column(s) ({', '.join(bad[:5])}...) — "
+                      "the candidate band was too narrow; results are the "
+                      "best-effort exact re-rank. Rerun with "
+                      "--score_precision highest for a guaranteed set.",
+                      file=_sys.stderr)
+            else:
+                print(f"top-k certificate: all {len(res.certified)} "
+                      "columns certified exact", file=_sys.stderr)
         base = f"{a.output_dir}/{a.base_name}"
         if a.kmers_scores:
             for j, name in enumerate(res.names):

@@ -61,6 +61,52 @@ class ScanResult:
     timings: dict = field(default_factory=dict)  # sub-stage seconds: stream
                                     # (feed+dispatch loop), finalize (state
                                     # fetch + merge), fetch (winner rows)
+    certified: list | None = None   # certify_topk: per-column bool — True
+                                    # = the selected set is PROVEN equal to
+                                    # the exact-score top-k (see
+                                    # certify_column)
+
+
+CERTIFY_BAND = 1024      # extra top-k slots carried for certify_topk: must
+                         # out-span the boundary rank-width of the assumed
+                         # error (measured at flagship shape: ~100
+                         # selections/column cross the boundary at the
+                         # actual ~2e-3 wobble, and ~1000 ranks span ~1e-2
+                         # relative score — tools/prof_r5_certify.py)
+CERTIFY_EPS = 4e-3       # relative score-error bound assumed of the scan's
+                         # default (bf16-product) precision: 2x margin over
+                         # the measured 2e-3 (BENCHMARKS.md "Score
+                         # precision on TPU")
+
+
+def certify_column(def_scores, rows, exact_scores, cap: int,
+                   eps: float = CERTIFY_EPS):
+    """Exact-selection certificate for one phenotype column.
+
+    The scan selected `rows` (top-(cap+B) by DEFAULT-precision scores,
+    descending `def_scores`); `exact_scores` are their f64 re-scores from
+    raw genotype bits. Returns (order, certified):
+
+      order     — indices selecting the exact top-`cap` among the carried
+                  candidates, ranked by (exact score desc, row asc) — the
+                  reference heap's tie rule with its double-precision
+                  epilogue (src/kmers_multiple_databases.cpp:358-362);
+      certified — True iff this set is PROVEN equal to the global
+                  exact-score top-cap: any row NOT carried has default
+                  score <= t = def_scores[-1], hence exact score
+                  <= t*(1+eps); if the cap-th exact score inside the
+                  carried set strictly exceeds that bound, no dropped row
+                  can displace — the set is exact. False means the band
+                  was too narrow (widen or rerun --score_precision
+                  highest), NOT that the set is wrong.
+    """
+    m = len(rows)
+    order = np.lexsort((np.asarray(rows), -np.asarray(exact_scores)))
+    if m <= cap:
+        return order, True          # everything the scan saw is carried
+    t = float(def_scores[-1])
+    s_star = float(exact_scores[order[cap - 1]])
+    return order[:cap], s_star > t * (1.0 + eps)
 
 
 def effective_min_count(n_accessions: int, maf: float, mac: int) -> int:
@@ -151,6 +197,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
               checkpoint_path: str | None = None, checkpoint_every: int = 20,
               dtable_cache: str | None = None, mesh=None,
               score_precision: str = "default",
+              certify_topk: bool = False,
               progress=None) -> ScanResult:
     """Scan the full table; returns per-phenotype top-k with k-mer codes.
 
@@ -162,6 +209,13 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     score_precision: "default" (platform matmul precision: bf16 products,
     ~2e-3 relative scores — candidates are exactly re-scored by the LMM) or
     "highest" (f32-faithful, slower). TPU kernels only.
+    certify_topk: carry CERTIFY_BAND extra top-k slots through the scan,
+    exactly re-score every carried candidate in f64 at finalize, re-rank
+    by (exact score desc, row asc), and PROVE per column that the selected
+    set equals the exact-score top-k (certify_column). Output scores are
+    then the f64 re-scores — the reference's double-precision epilogue
+    (src/kmers_multiple_databases.cpp:358-362) — at a small fetch/finalize
+    cost instead of the 3-6x GEMM cost of score_precision="highest".
     mesh: optional jax.sharding.Mesh. With >1 device the PRODUCTION step
     (fused kernel + buffered deferred merge) runs per device shard under
     shard_map, batches sharded over the k-mer axis, and the exact global
@@ -173,7 +227,8 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     min_count = effective_min_count(n_used, maf, mac)
     n_pad = reader.w32 * 32
     p = pheno_values.shape[1]
-    k_eff = max(n_top, first_phenotype_top or 0)
+    k_eff = max(n_top, first_phenotype_top or 0) \
+        + (CERTIFY_BAND if certify_topk else 0)
 
     if min_count < 1:
         raise ValueError("min_count must be >= 1 (zero-popcount marks padding)")
@@ -353,17 +408,42 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
 
     names = list(pheno_names)
     scores_out, rows_out, kmers_out = [], [], []
+    certified = [] if certify_topk else None
+    if certify_topk:
+        t_cert = _time.perf_counter()
+        # the oracle scores what the scan scored: the f32-cast phenotypes,
+        # re-accumulated in f64
+        yv = np.asarray(pheno_values, np.float32).astype(np.float64)
+        ysums = yv.sum(axis=0)
     for j, (sc, rw) in enumerate(per_pheno):
         cap = first_phenotype_top if (j == 0 and first_phenotype_top) else n_top
-        sc, rw = sc[:cap], rw[:cap]
+        if certify_topk:
+            pa = np.asarray(pa_of_row.take(rw))
+            bits = np.unpackbits(np.ascontiguousarray(pa).view(np.uint8),
+                                 axis=1, bitorder="little"
+                                 )[:, :n_used].astype(np.float64)
+            n_f = float(n_used)
+            n1 = bits.sum(axis=1)
+            r_ = n_f * (bits @ yv[:, j]) - n1 * ysums[j]
+            denom = n_f * n1 - n1 * n1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s_ex = np.where(denom > 0, r_ * r_ / denom, 0.0)
+            order, cert = certify_column(sc, rw, s_ex, cap)
+            certified.append(bool(cert))
+            sc, rw = s_ex[order], np.asarray(rw)[order]
+        else:
+            sc, rw = sc[:cap], rw[:cap]
         scores_out.append(sc)
         rows_out.append(rw)
         kmers_out.append(np.asarray(kmer_of_row.take(rw), dtype=np.uint64))
+    if certify_topk:
+        timings["certify"] = _time.perf_counter() - t_cert
 
     return ScanResult(names=names, scores=scores_out, rows=rows_out,
                       kmers=kmers_out, n_tested=n_tested,
                       n_patterns=(patterns.count if patterns else None),
-                      pa_rows=pa_of_row, timings=timings)
+                      pa_rows=pa_of_row, timings=timings,
+                      certified=certified)
 
 
 class RowLookup:

@@ -385,6 +385,66 @@ def _ml_lrt_complete(ys, xs, K, X0, llim, ulim, ngrids: int, n_bisect: int):
     return ml1, vg, ve, ml0
 
 
+@functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
+def _ml_lrt_gathered(ys_b, xs_b, Ks_b, X0_b, llim, ulim,
+                     ngrids: int, n_bisect: int):
+    """NA-variant tail core (r5): each of the b variants carries its OWN
+    gathered subset — (b, s) phenotype/genotype, (b, s, s) kinship,
+    (b, s, q0) null covariates, equal subset size s — and the whole tail
+    batch runs as ONE vmapped dispatch (per-variant eigh + null MLE + alt
+    MLE). Replaces the per-distinct-mask Python loop: a dataset with many
+    distinct NA masks costs one dispatch per distinct subset SIZE.
+    Returns (ml1, vg, ve, ml0), each (b,)."""
+    esp = 1e-10
+
+    def one(y, x, Ki, X0i):
+        xi, U = jnp.linalg.eigh(Ki)
+        yt = y @ U
+        xt = x @ U
+        X0t = U.T @ X0i
+        r0 = _mle_rot(xi, X0t, yt, llim, ulim, esp, ngrids, n_bisect)
+        Xt = jnp.concatenate([X0t, xt[:, None]], axis=1)
+        r1 = _mle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
+        return r1.reml_ll, r1.vg, r1.ve, r0.reml_ll
+
+    return jax.vmap(one)(ys_b, xs_b, Ks_b, X0_b)
+
+
+@functools.partial(jax.jit, static_argnames=("ngrids", "n_bisect"))
+def _reml_t_gathered(ys_b, xs_b, Ks_b, X0_b, llim, ulim,
+                     ngrids: int, n_bisect: int):
+    """REML.t twin of _ml_lrt_gathered: one vmapped dispatch per distinct
+    subset size. Returns (stat, vg, ve, reml), each (b,)."""
+    esp = 1e-10
+
+    def one(y, x, Ki, X0i):
+        xi, U = jnp.linalg.eigh(Ki)
+        yt = y @ U
+        xt = x @ U
+        X0t = U.T @ X0i
+        Xt = jnp.concatenate([X0t, xt[:, None]], axis=1)
+        res = _remle_rot(xi, Xt, yt, llim, ulim, esp, ngrids, n_bisect)
+        _, G, beta, _ = _rot_stats(jnp.log(res.delta), xi, Xt, yt)
+        iXXqq = jnp.linalg.inv(G)[-1, -1]
+        stat = beta[-1] / jnp.sqrt(iXXqq * res.vg)
+        return stat, res.vg, res.ve, res.reml_ll
+
+    return jax.vmap(one)(ys_b, xs_b, Ks_b, X0_b)
+
+
+def _na_tail_by_size(na_idx, vids, xs_na):
+    """Group NA-variant indices by their gathered subset SIZE; returns
+    {size: (idxs list, masks list)} with masks = vids & ~xs_na[i]."""
+    import numpy as _np
+    by_size: dict = {}
+    for i in na_idx:
+        vv = vids & ~xs_na[i]
+        by_size.setdefault(int(vv.sum()), ([], []))
+        by_size[int(vv.sum())][0].append(int(i))
+        by_size[int(vv.sum())][1].append(vv)
+    return by_size
+
+
 def emma_ML_LRT(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
                 llim: float = -10.0, ulim: float = 10.0, n_bisect: int = 60):
     """emma.ML.LRT: per-variant ML likelihood-ratio test (emma.R:495-741).
@@ -433,20 +493,25 @@ def emma_ML_LRT(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
                 r = run_rows(yj, xs[_np.flatnonzero(clean)][:, vids], Kj, X0j)
                 for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
                     o[clean] = _np.asarray(v)[:, 0]
-            # NA variants: R subsets per variant (emma.R:683-691). Variants
-            # sharing an identical NA mask share one eigendecomposition and
-            # one vmapped call — a dataset where most variants carry the
-            # same missing individuals no longer degrades to a Python loop
-            groups: dict = {}
-            for i in _np.flatnonzero(~clean):
-                groups.setdefault((vids & ~xs_na[i]).tobytes(), []).append(i)
-            for key, idxs in groups.items():
-                vv = _np.frombuffer(key, dtype=bool)
-                r = run_rows(ys[j, vv][None, :],
-                             xs[_np.asarray(idxs)][:, vv],
-                             K[_np.ix_(vv, vv)], X0[vv])
+            # NA variants: R subsets per variant (emma.R:683-691). All
+            # variants whose gathered subset has the same SIZE run as ONE
+            # vmapped dispatch with per-variant gathered K/y/x/X0
+            # (_ml_lrt_gathered, r5) — a dataset with 50 distinct NA masks
+            # over a handful of sizes costs a handful of dispatches, not a
+            # per-mask Python/eigh loop
+            ys_h, xs_h = _np.asarray(ys), _np.asarray(xs)
+            K_h, X0_h = _np.asarray(K), _np.asarray(X0)
+            for s, (idxs, masks) in _na_tail_by_size(
+                    _np.flatnonzero(~clean), vids, xs_na).items():
+                ys_b = _np.stack([ys_h[j, vv] for vv in masks])
+                xs_b = _np.stack([xs_h[i, vv]
+                                  for i, vv in zip(idxs, masks)])
+                Ks_b = _np.stack([K_h[_np.ix_(vv, vv)] for vv in masks])
+                X0_b = _np.stack([X0_h[vv] for vv in masks])
+                r = _ml_lrt_gathered(ys_b, xs_b, Ks_b, X0_b, llim, ulim,
+                                     ngrids, n_bisect)
                 for o, v in zip((o_ml1, o_vg, o_ve, o_ml0), r):
-                    o[idxs] = _np.asarray(v)[:, 0]
+                    o[idxs] = _np.asarray(v)
             cols.append((o_ml1, o_vg, o_ve, o_ml0))
         ml1, vg, ve, ml0 = (jnp.asarray(_np.stack([c[t] for c in cols], axis=1),
                                         dt) for t in range(4))
@@ -532,19 +597,21 @@ def emma_REML_t(ys, xs, K, Z=None, X0=None, ngrids: int = 100,
                 for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
                     o[clean, j] = _np.asarray(v)[:, 0]
                 o_dfs[clean, j] = int(vids.sum()) - q1
-            # NA variants grouped by identical NA mask (see emma_ML_LRT)
-            groups: dict = {}
-            for i in _np.flatnonzero(~clean):
-                groups.setdefault((vids & ~xs_na[i]).tobytes(), []).append(i)
-            for key, idxs in groups.items():
-                vv = _np.frombuffer(key, dtype=bool)
-                r = _reml_t_complete(ys[j, vv][None, :],
-                                     xs[_np.asarray(idxs)][:, vv],
-                                     K[_np.ix_(vv, vv)], X0[vv], llim, ulim,
+            # NA variants batched by gathered subset SIZE (see emma_ML_LRT)
+            ys_h, xs_h = _np.asarray(ys), _np.asarray(xs)
+            K_h, X0_h = _np.asarray(K), _np.asarray(X0)
+            for s, (idxs, masks) in _na_tail_by_size(
+                    _np.flatnonzero(~clean), vids, xs_na).items():
+                ys_b = _np.stack([ys_h[j, vv] for vv in masks])
+                xs_b = _np.stack([xs_h[i, vv]
+                                  for i, vv in zip(idxs, masks)])
+                Ks_b = _np.stack([K_h[_np.ix_(vv, vv)] for vv in masks])
+                X0_b = _np.stack([X0_h[vv] for vv in masks])
+                r = _reml_t_gathered(ys_b, xs_b, Ks_b, X0_b, llim, ulim,
                                      ngrids, n_bisect)
                 for o, v in zip((o_stat, o_vg, o_ve, o_reml), r):
-                    o[idxs, j] = _np.asarray(v)[:, 0]
-                o_dfs[idxs, j] = int(vv.sum()) - q1
+                    o[idxs, j] = _np.asarray(v)
+                o_dfs[idxs, j] = s - q1
         stat, vg, ve, reml, dfs = (jnp.asarray(o, dt) for o in
                                    (o_stat, o_vg, o_ve, o_reml, o_dfs))
 

@@ -485,6 +485,71 @@ def test_scan_midstream_crash_resume_dtable_no_duplicates(tmp_path):
                                    np.sort(full.scores[j]), rtol=1e-6)
 
 
+def test_certify_column_unit():
+    """certify_column: (a) repairs a boundary swap introduced by perturbed
+    default-precision scores, (b) refuses the certificate when the carried
+    band cannot exclude dropped rows."""
+    from kmersgwas_tpu.pipeline.scan import certify_column
+    rng = np.random.default_rng(11)
+    m, cap = 30, 20
+    exact = np.sort(rng.uniform(1.0, 2.0, size=m))[::-1].copy()
+    rows = np.arange(100, 100 + m)
+    # default scores: exact +- small wobble that swaps ranks at the
+    # boundary; the scan carried the top-m by DEFAULT order
+    wobble = exact * rng.uniform(-2e-3, 2e-3, size=m)
+    default = exact + wobble
+    order_def = np.argsort(-default, kind="stable")
+    d_sorted, r_sorted, e_sorted = (default[order_def], rows[order_def],
+                                    exact[order_def])
+    order, cert = certify_column(d_sorted, r_sorted, e_sorted, cap,
+                                 eps=6e-3)
+    # selected set must be the exact top-cap regardless of the wobble
+    sel = set(np.asarray(r_sorted)[order].tolist())
+    assert sel == set(rows[np.argsort(-exact)][:cap].tolist())
+    # certificate holds iff the cap-th exact beats the worst-carried bound
+    assert cert == (np.sort(e_sorted)[::-1][cap - 1]
+                    > d_sorted[-1] * (1 + 6e-3))
+    # (b) band too narrow: make the carried minimum close to the cap-th
+    tight = e_sorted.copy()
+    d_tight = d_sorted.copy()
+    d_tight[-1] = tight[np.argsort(-tight)[cap - 1]]   # t ~ s_star
+    _, cert2 = certify_column(d_tight, r_sorted, tight, cap, eps=6e-3)
+    assert not cert2
+    # ties break by row ascending (the heap rule)
+    e_tie = np.full(6, 5.0)
+    r_tie = np.array([9, 3, 7, 1, 5, 2])
+    o3, c3 = certify_column(e_tie, r_tie, e_tie, 4, eps=6e-3)
+    assert list(r_tie[o3]) == [1, 2, 3, 5]
+    assert not c3         # all equal: t == s_star, cannot certify
+
+
+def test_associate_certify_topk_matches_oracle(tmp_path):
+    """certify_topk on a real scan: the selected sets equal the
+    score_precision='highest' oracle run, all columns certified, and the
+    reported scores are the f64 re-scores."""
+    pop = build_population(tmp_path, n_samples=24, n_kmers=500, seed=13)
+    n = len(pop["names"])
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(n, 3))
+    kw = dict(kmer_len=K, n_top=25, maf=0.05, mac=2, batch_size=128)
+    oracle = scan_mod.associate(pop["base"], pop["names"], y, list("abc"),
+                                score_precision="highest", **kw)
+    cert = scan_mod.associate(pop["base"], pop["names"], y, list("abc"),
+                              certify_topk=True, **kw)
+    assert cert.certified == [True, True, True]
+    min_count = scan_mod.effective_min_count(n, 0.05, 2)
+    kmers, ref_scores, keep = brute_force_scores(pop, y, min_count)
+    for j in range(3):
+        assert set(cert.kmers[j].tolist()) == set(oracle.kmers[j].tolist())
+        # certified scores are f64 re-scores of the f32-cast phenotypes:
+        # agree with the raw-f64 brute force to input-cast precision
+        by_kmer = dict(zip(kmers.tolist(), ref_scores[j].tolist()))
+        want = np.array([by_kmer[kk] for kk in cert.kmers[j].tolist()])
+        np.testing.assert_allclose(cert.scores[j], want, rtol=1e-6)
+        # descending, ties by row ascending
+        assert (np.diff(cert.scores[j]) <= 1e-12).all()
+
+
 def test_pattern_counter_amortized_equals_union():
     """_PatternCounter's deferred compaction gives identical counts to a
     naive per-batch set-union across many small batches (property test for

@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--workdir", default="/tmp/kgt_at_scale")
     ap.add_argument("--permutations", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=2_000_000)
+    ap.add_argument("--no_dtable", action="store_true",
+                    help="skip the .dtable cache and stream the raw .table "
+                         "(native threaded squeeze) — required when disk "
+                         "cannot hold table + cache (e.g. the 400M-row / "
+                         "54 GB configuration on this 69 GB-free host)")
     a = ap.parse_args()
 
     from kmersgwas_tpu.core import formats
@@ -102,16 +107,18 @@ def main():
 
     # time the dtable build separately from the scan that consumes it
     stage_seconds = {}
-    dtable = base + ".dtable"
-    if not os.path.exists(dtable):
-        from kmersgwas_tpu.core import dtable as dt_mod
-        import math
-        t0 = time.perf_counter()
-        dt_mod.build_dtable(base, dtable, names_to_use=names,
-                            min_count=max(5, math.ceil(a.n * 0.05)))
-        stage_seconds["dtable_build"] = time.perf_counter() - t0
-        print(f"[dtable] built in {stage_seconds['dtable_build']:.1f}s",
-              flush=True)
+    dtable = None
+    if not a.no_dtable:
+        dtable = base + ".dtable"
+        if not os.path.exists(dtable):
+            from kmersgwas_tpu.core import dtable as dt_mod
+            import math
+            t0 = time.perf_counter()
+            dt_mod.build_dtable(base, dtable, names_to_use=names,
+                                min_count=max(5, math.ceil(a.n * 0.05)))
+            stage_seconds["dtable_build"] = time.perf_counter() - t0
+            print(f"[dtable] built in {stage_seconds['dtable_build']:.1f}s",
+                  flush=True)
 
     outdir = os.path.join(a.workdir, "gwas_out")
     t_all = time.perf_counter()
