@@ -175,7 +175,7 @@ def _span_dtable(table_base: str, cache_base: str, names_to_use,
     return dt_mod.DTableReader(my_cache)
 
 
-def _union_patterns_across_processes(patterns) -> int:
+def _union_patterns_across_processes(patterns, chunk: int = 1 << 22) -> int:
     """Cross-process union of per-process distinct pattern-hash sets.
 
     Pattern hashes are shard-local (each table row lives on exactly one
@@ -189,8 +189,7 @@ def _union_patterns_across_processes(patterns) -> int:
     a long scan (ADVICE r4). Collectives happen at the very end only
     (reference semantics: src/kmers_multiple_databases.cpp:377-380)."""
     from jax.experimental import multihost_utils
-    chunk = 1 << 22                       # 32 MB/process/round
-    local = patterns.sorted_hashes()
+    local = patterns.sorted_hashes()      # chunk: 32 MB/process/round
     lens = np.asarray(multihost_utils.process_allgather(
         np.int64(len(local)))).ravel()
     mx = int(lens.max())

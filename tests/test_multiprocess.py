@@ -738,3 +738,53 @@ def test_distributed_scan_dtable_checkpoint_resume(tmp_path):
     for j in range(p):
         np.testing.assert_array_equal(per[j][1], ref.rows[j])
         np.testing.assert_allclose(per[j][0], ref.scores[j], rtol=1e-6)
+
+
+def test_union_patterns_chunked_rounds(monkeypatch):
+    """The bounded-round pattern-set union (ADVICE r4: the padded full-set
+    allgather could OOM at 1e8+ distinct patterns) must produce the exact
+    global distinct count across multiple chunk rounds and skewed set
+    sizes — simulated 3-process allgather."""
+    import numpy as np
+    from kmersgwas_tpu.parallel import multihost
+    from kmersgwas_tpu.pipeline.scan import _PatternCounter
+
+    rng = np.random.default_rng(3)
+    locals_ = []
+    for size in (3500, 1200, 0):        # skew + one empty process
+        h = np.unique(rng.integers(0, 1 << 40, size=size).astype(np.uint64))
+        locals_.append(np.sort(h))
+    expect = len(np.unique(np.concatenate(locals_)))
+
+    class FakeCounter:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def sorted_hashes(self):
+            return self._arr
+
+    calls = {"n": 0, "pos": 0}
+
+    def fake_allgather(x):
+        x = np.asarray(x)
+        if x.ndim == 0:                  # the lens round
+            return np.array([len(a) for a in locals_], np.int64)
+        # a chunk round: processes send locals_[i][s:s+width] padded; the
+        # chunk start advances by each round's width (last round ragged)
+        width = len(x)
+        s = calls["pos"]
+        calls["n"] += 1
+        calls["pos"] += width
+        out = np.zeros((3, width), np.uint64)
+        for i, a in enumerate(locals_):
+            take = a[s:s + width]
+            out[i, :len(take)] = take
+        return out
+
+    from jax.experimental import multihost_utils
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        fake_allgather)
+    got = multihost._union_patterns_across_processes(
+        FakeCounter(locals_[0]), chunk=1000)    # 4 rounds for size 3500
+    assert calls["n"] >= 4                       # genuinely multi-round
+    assert got == expect
