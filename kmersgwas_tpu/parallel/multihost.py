@@ -353,6 +353,8 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         def any_has_data(flag: bool) -> bool:
             return flag
 
+    from collections import deque
+    _inflight: deque = deque()
     next_pos = start_row
     step_i = 0
     exhausted = False
@@ -388,6 +390,13 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         gp, gpc, glo, ghi = make_global_batch(mesh,
                                               [packed, popcnt, lo, hi])
         state = step(state, gp, gpc, glo, ghi, ypr, ysr)
+        # bounded dispatch pipeline (see pipeline/scan.py): blocking on the
+        # state from a few steps back releases all older batches' buffers —
+        # an unthrottled async/relay backend otherwise accumulates every
+        # queued batch host-side (OOM at 400M rows, single-process scan)
+        _inflight.append(state.buf_n)
+        if len(_inflight) > 4:
+            jax.block_until_ready(_inflight.popleft())
         if r:
             next_pos = bnext
         step_i += 1
@@ -501,11 +510,17 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
                    for batch in reader.iter_batches(
                        batch_size, min_count, start_row=start_row,
                        end_row=my_hi))
+    from collections import deque
+    _inflight: deque = deque()
     batch_i = 0
     for packed, next_pos, r in batches:
         if r == 0:
             continue
         acc.add(np.asarray(packed) if d_loc > 1 else jnp.asarray(packed))
+        # bounded dispatch pipeline (see pipeline/scan.py)
+        _inflight.append(acc.device_acc)
+        if len(_inflight) > 4:
+            jax.block_until_ready(_inflight.popleft())
         batch_i += 1
         if my_ckpt and batch_i % checkpoint_every == 0:
             acc.flush()

@@ -119,6 +119,20 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
         if resumed is not None:
             acc.total, acc.n_rows, start_row = resumed
 
+    from collections import deque
+    inflight: deque = deque()
+
+    def throttle():
+        # bounded dispatch pipeline (see pipeline/scan.py): without this an
+        # async/relay backend queues every batch's buffers — OOM at scale
+        inflight.append(acc.device_acc if hasattr(acc, "device_acc")
+                        else None)
+        if len(inflight) > 4:
+            h = inflight.popleft()
+            if h is not None:
+                import jax
+                jax.block_until_ready(h)
+
     if dt is not None:
         # dtable rows are already MAC-filtered and packed: zero-copy memmap
         # slices with readahead on a prefetch thread (pipeline/feed.py), so
@@ -132,6 +146,7 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
             if r == 0:
                 continue
             acc.add(to_dev(planes))
+            throttle()
             batch_i += 1
             if checkpoint_path and batch_i % checkpoint_every == 0:
                 acc.flush()
@@ -150,6 +165,7 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
         # padded row is not neutral under the ±1 encoding); the sharded path
         # pads to the device count but zeroes padding rows in the GEMM
         acc.add(to_dev(batch.packed))
+        throttle()
         batch_i += 1
         if checkpoint_path and batch_i % checkpoint_every == 0:
             acc.flush()

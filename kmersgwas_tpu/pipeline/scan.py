@@ -364,16 +364,28 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         return ss.flush_buffered(st)
 
     import time as _time
+    from collections import deque
     timings = {}
     timer = StageTimer("scan", "kmers", quiet=progress is not None)
     t_stream = _time.perf_counter()
     batch_i = 0
+    # BOUNDED dispatch pipeline: without backpressure an async backend (or
+    # a remote relay) can queue hundreds of steps ahead, keeping every
+    # queued batch's host/transfer buffers alive — a 400M-row scan was
+    # OOM-killed at ~160 in-flight 2M-row batches (~130 GB anon RSS).
+    # Blocking on the state from `_INFLIGHT` steps ago releases all older
+    # inputs while keeping the device fed.
+    inflight: deque = deque()
+    _INFLIGHT = 4
     for r, packed, popcnt, lo, hi, pos_after, pats in _prefetch(
             prepared, depth=2):
         n_tested += r
         if pats is not None:
             patterns.add(pats)
         state = step(state, packed, popcnt, lo, hi)
+        inflight.append(state.buf_n)
+        if len(inflight) > _INFLIGHT:
+            jax.block_until_ready(inflight.popleft())
         batch_i += 1
         # stream position after this batch: dtable row index past the slice,
         # or the last absolute .table row consumed + 1
