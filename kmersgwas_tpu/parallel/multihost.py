@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import formats
 from ..core.table import KmersTableReader
+from ..utils import drain as utils_drain
 from .sharding import AXIS
 
 
@@ -390,13 +391,15 @@ def run_distributed_scan(table_base: str, pheno_accessions, pheno_values,
         gp, gpc, glo, ghi = make_global_batch(mesh,
                                               [packed, popcnt, lo, hi])
         state = step(state, gp, gpc, glo, ghi, ypr, ysr)
-        # bounded dispatch pipeline (see pipeline/scan.py): blocking on the
+        # bounded dispatch pipeline (see pipeline/scan.py): draining to the
         # state from a few steps back releases all older batches' buffers —
         # an unthrottled async/relay backend otherwise accumulates every
-        # queued batch host-side (OOM at 400M rows, single-process scan)
+        # queued batch host-side (OOM at 400M rows, single-process scan).
+        # utils.drain = one-element local-shard fetch (block_until_ready
+        # under-waits on remote relays)
         _inflight.append(state.buf_n)
         if len(_inflight) > 4:
-            jax.block_until_ready(_inflight.popleft())
+            utils_drain(_inflight.popleft())
         if r:
             next_pos = bnext
         step_i += 1
@@ -517,10 +520,11 @@ def run_distributed_kinship(table_base: str, *, maf: float = 0.05,
         if r == 0:
             continue
         acc.add(np.asarray(packed) if d_loc > 1 else jnp.asarray(packed))
-        # bounded dispatch pipeline (see pipeline/scan.py)
+        # bounded dispatch pipeline (see pipeline/scan.py): one-element
+        # local-shard fetch (block_until_ready under-waits on remote relays)
         _inflight.append(acc.device_acc)
         if len(_inflight) > 4:
-            jax.block_until_ready(_inflight.popleft())
+            utils_drain(_inflight.popleft())
         batch_i += 1
         if my_ckpt and batch_i % checkpoint_every == 0:
             acc.flush()

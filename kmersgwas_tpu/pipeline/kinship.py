@@ -125,13 +125,14 @@ def kinship_from_table(table_base: str, *, maf: float = 0.05,
     def throttle():
         # bounded dispatch pipeline (see pipeline/scan.py): without this an
         # async/relay backend queues every batch's buffers — OOM at scale
-        inflight.append(acc.device_acc if hasattr(acc, "device_acc")
-                        else None)
+        # (utils.drain: one-element host fetch; block_until_ready
+        # under-waits on remote relays)
+        inflight.append(getattr(acc, "device_acc", None))
         if len(inflight) > 4:
             h = inflight.popleft()
             if h is not None:
-                import jax
-                jax.block_until_ready(h)
+                from ..utils import drain
+                drain(h)
 
     if dt is not None:
         # dtable rows are already MAC-filtered and packed: zero-copy memmap

@@ -236,7 +236,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     patterns = _PatternCounter() if count_patterns else None
 
     from ..ops import scanstep as ss
-    from ..utils import StageTimer, pick_kernel
+    from ..utils import StageTimer, drain, pick_kernel
     from . import checkpoint as ckpt
     kernel = pick_kernel(use_pallas)
     n_devices = mesh.devices.size if mesh is not None else 1
@@ -373,8 +373,9 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     # a remote relay) can queue hundreds of steps ahead, keeping every
     # queued batch's host/transfer buffers alive — a 400M-row scan was
     # OOM-killed at ~160 in-flight 2M-row batches (~130 GB anon RSS).
-    # Blocking on the state from `_INFLIGHT` steps ago releases all older
-    # inputs while keeping the device fed.
+    # Draining to the state from `_INFLIGHT` steps ago releases all older
+    # inputs while keeping the device fed (utils.drain: a one-element host
+    # fetch; jax.block_until_ready under-waits on remote-relay backends).
     inflight: deque = deque()
     _INFLIGHT = 4
     for r, packed, popcnt, lo, hi, pos_after, pats in _prefetch(
@@ -385,7 +386,7 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
         state = step(state, packed, popcnt, lo, hi)
         inflight.append(state.buf_n)
         if len(inflight) > _INFLIGHT:
-            jax.block_until_ready(inflight.popleft())
+            drain(inflight.popleft())
         batch_i += 1
         # stream position after this batch: dtable row index past the slice,
         # or the last absolute .table row consumed + 1

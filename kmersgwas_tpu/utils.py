@@ -26,6 +26,28 @@ def pick_kernel(use_pallas) -> str:
     return "pallas" if use_pallas else "xla"
 
 
+def drain(handle) -> None:
+    """Backpressure point of the bounded dispatch pipelines: force the
+    device queue to have COMPLETED `handle` (an output of the step a few
+    batches back) before returning, releasing every older batch's
+    host/transfer buffers.
+
+    jax.block_until_ready is not enough on remote-relay backends (it
+    under-waits — bench.py works around the same by fetching a host
+    scalar per window), so this fetches ONE element to the host: an
+    in-order device queue cannot serve the fetch before finishing every
+    earlier step. Co-located, the scalar D2H costs microseconds. For
+    multi-process global arrays the fetch targets the process-LOCAL
+    shard (a global fetch would need a collective)."""
+    import numpy as np
+    shards = getattr(handle, "addressable_shards", None)
+    if shards is not None:
+        handle = shards[0].data
+    if handle.ndim:
+        handle = handle.ravel()[:1]
+    np.asarray(handle)
+
+
 class StageTimer:
     """Accumulates per-stage wall time + item counts; prints to stderr."""
 
