@@ -320,11 +320,13 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
 
     # r5 flagship: the in-kernel running top-W epilogue (cand_w) — the
     # kernel carries the candidate list across tiles; the XLA side only
-    # sorts 256 lanes, gathers rows, and appends (tools/prof_r5_epi.py)
+    # sorts 256 lanes, gathers rows, and appends (tools/prof_r5_epi.py).
+    # tile 4096 halves the serial replace-min chain: 5.92 ms/step vs 6.24
+    # at 2048 (topw3 probe, 24-window medians)
     step = functools.partial(
         ss.scan_step_compact.__wrapped__, y_padded=yp, y_sum=ysum,
         n_used=n_used, min_count=min_count, kernel="pallas", cand_w=256,
-        cand_k=2048, tile_rows=2048, cand_q=64, pre_transposed=True)
+        cand_k=2048, tile_rows=4096, cand_q=64, pre_transposed=True)
 
     @jax.jit
     def window(state, seed, base):

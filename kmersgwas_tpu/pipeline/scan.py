@@ -254,7 +254,11 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     # fixed device shape: pad every batch to batch_size (rounded up for the
     # compact step's tile and the device count) so jit compiles exactly one
     # program; padding rows carry popcnt == 0 and score -inf inside the step
-    tile = 2048 if kernel == "pallas" else 128
+    # tile 4096 halves the in-kernel replace-min chain (a serial VPU
+    # dependency across grid steps): measured 5.92 ms/2M-row step vs 6.24
+    # at tile 2048 on the real chip (tools/prof_r5_epi.py topw3, 24-window
+    # medians; the r5-early erratic windows did not reproduce)
+    tile = 4096 if kernel == "pallas" else 128
     quantum = n_devices * tile
     pad_to = ((batch_size + quantum - 1) // quantum) * quantum
 
