@@ -257,8 +257,15 @@ def associate(table_base: str, pheno_accessions, pheno_values: np.ndarray,
     # tile 4096 halves the in-kernel replace-min chain (a serial VPU
     # dependency across grid steps): measured 5.92 ms/2M-row step vs 6.24
     # at tile 2048 on the real chip (tools/prof_r5_epi.py topw3, 24-window
-    # medians; the r5-early erratic windows did not reproduce)
-    tile = 4096 if kernel == "pallas" else 128
+    # medians; the r5-early erratic windows did not reproduce). Wide-P
+    # scans stay at 2048: bigger tiles concentrate hot rows, so the
+    # cnt<=3 capture guard trips longer and the per-group fallback
+    # dominates the (already long) wide-P ramp (P=1009 probe at 4096 was
+    # still fallback-bound after 32 windows where 2048 had converged)
+    if kernel == "pallas":
+        tile = 4096 if p <= score_ops._P_CHUNK else 2048
+    else:
+        tile = 128
     quantum = n_devices * tile
     pad_to = ((batch_size + quantum - 1) // quantum) * quantum
 
