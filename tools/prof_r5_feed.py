@@ -1,21 +1,22 @@
 """Round-5 probe: device scan-step rate at SMALL batch sizes.
 
-Why: the zero-copy host feed (pipeline/feed.py) copies ~1.7x faster with a
-512k-row staging buffer than a 2M one (cache/TLB effects on this host), so
-the feed-optimal batch is small — but the device step has fixed per-step
-costs (candidate-sort epilogue, dispatch) that amortize worse. This probe
-measures the kernel at 512k rows/step to locate the crossover.
+Why (as of the round-5-initial capture): the zero-copy host feed appeared
+to copy ~1.7x faster with a 512k-row staging buffer than a 2M one, so this
+probe measured the kernel at 512k rows/step to locate a feed/kernel batch
+crossover.
 
 Measured (real chip via relay, 2026-08-21):
     rows/step = 2M   : step 6.69 ms  -> 313.5M rows/s   (BENCH_r04/r05)
     rows/step = 512k : step ~4.9-6.2 ms -> ~84-106M rows/s
                        (windows still partly relay-noisy; cand_c=128)
 
-Conclusion: co-located end-to-end bound
-    batch 2M  : min(kernel 315M, feed 39.5M)  = 39.5M rows/s
-    batch 512k: min(kernel ~90M, feed 61.7M)  = 61.7M rows/s
-so a feed-bound deployment should run 512k-row steps; a kernel-bound one
-(multi-thread feed host) should run 2M. bench.py reports both feed rates.
+SUPERSEDED (2026-08-22, tools/prof_r5_feedgap.py): the 2M-batch feed
+"slowness" was a bench artifact — the 8M-row bench table left a ~2M-row
+TAIL batch (25% of rows) on the one-off scratch-pad path at the 2,000,896
+production quantum. Steady-state (full-batch) feed runs at the host's
+memcpy bound at BOTH quanta (~65M rows/s at 2M, ~73M at 512k), so there
+is no crossover: production runs kernel-optimal 2M steps and the
+co-located bound is min(kernel 354.8M, feed ~65M) ~= 65M rows/s.
 
 Run: python tools/prof_r5_feed.py  (~3 min incl. remote compile)
 """
