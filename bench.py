@@ -292,6 +292,24 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
     gen_tile = 1 << 14
     S = steps_per_window
 
+    # host-feed side of the end-to-end story (VERDICT r4 #1): the
+    # production zero-copy feed (pipeline/feed.py) measured on a synthetic
+    # dtable; co-located end-to-end per-chip = min(kernel rate, feed rate),
+    # reported side by side with the kernel rate in the same JSON line.
+    # Measured FIRST, before the first device touch: after the window phase
+    # the live device runtime (relay threads, allocator state) depressed
+    # the same measurement ~15% (54.7M vs 65.2M rows/s warm).
+    try:
+        _, dtable, *_ = _synthetic_pop(8_000_000, "/tmp/kgt_stream_bench")
+        feed_warm, feed_cold, disk_gbps, feed_small = \
+            measure_host_feed(dtable)
+        print(f"host feed: warm {feed_warm/1e6:.1f}M rows/s (512k-batch "
+              f"{feed_small/1e6:.1f}M), cold {feed_cold/1e6:.1f}M rows/s "
+              f"(disk {disk_gbps:.2f} GB/s)", file=sys.stderr, flush=True)
+    except Exception as e:                       # feed measure must never
+        print(f"host-feed measure failed: {e}", file=sys.stderr)   # kill
+        feed_warm = feed_cold = disk_gbps = feed_small = None      # the bench
+
     rng = np.random.default_rng(0)
     y = rng.normal(size=(n_used, p)).astype(np.float32)
     yp, ysum = score_ops.prepare_phenotypes(y, n_pad)
@@ -406,21 +424,6 @@ def main(n_windows: int = 30, steps_per_window: int = 16,
         win_s.append(time.perf_counter() - t0)
     checksum = float(np.asarray(state.scores[:, 0]).sum())
     assert np.isfinite(checksum)
-
-    # host-feed side of the end-to-end story (VERDICT r4 #1): the
-    # production zero-copy feed (pipeline/feed.py) measured on a synthetic
-    # dtable; co-located end-to-end per-chip = min(kernel rate, feed rate).
-    # Reported side by side with the kernel rate in the same JSON line.
-    try:
-        _, dtable, *_ = _synthetic_pop(8_000_000, "/tmp/kgt_stream_bench")
-        feed_warm, feed_cold, disk_gbps, feed_small = \
-            measure_host_feed(dtable)
-        print(f"host feed: warm {feed_warm/1e6:.1f}M rows/s (512k-batch "
-              f"{feed_small/1e6:.1f}M), cold {feed_cold/1e6:.1f}M rows/s "
-              f"(disk {disk_gbps:.2f} GB/s)", file=sys.stderr, flush=True)
-    except Exception as e:                       # feed measure must never
-        print(f"host-feed measure failed: {e}", file=sys.stderr)   # kill
-        feed_warm = feed_cold = disk_gbps = feed_small = None      # the bench
 
     win_s = np.array(win_s)
     rates = S * rows / win_s
