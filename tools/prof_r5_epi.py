@@ -367,3 +367,202 @@ def main_topw3(variants):
 
 if __name__ == "__main__" and sys.argv[1:2] == ["topw3"]:
     main_topw3(sys.argv[2:] or ["rmfloor", "rm2048", "rm4096"])
+
+
+def main_topw4(variants):
+    """Round-5-final probe: can Mosaic hide the replace-min chain?
+
+    The r5 postmortem measured the in-kernel replace-min candidate list
+    as a serial VPU dependency chain across grid steps (+0.46 ms at tile
+    2048, ~half that at 4096): step t+1's inserts read the list step t
+    wrote, so the scheduler cannot software-pipeline them under step
+    t+1's MXU contraction. PARITY-SPLIT hypothesis: keep TWO independent
+    128-slot lists, even tiles inserting into list A, odd tiles into
+    list B (separate revisited output refs) — the same 256 candidate
+    slots, but the cross-step dependency distance doubles to 2, giving
+    the scheduler one full step of slack to overlap each chain with the
+    other parity's GEMM.
+
+    Kernel-only floors (outputs reduced to a scalar, thresh=+inf so the
+    guard work matches production), tile_rows=4096:
+        rmfloor4096   single 256-slot list   (the shipped kernel)
+        parity4096    two 128-slot lists     (the hypothesis)
+
+    RESULT (real chip via relay, 2026-08-22, 16 windows x 16 steps after
+    8 ramp windows — an unusually quiet relay, windows 90-92 ms flat):
+
+        parity4096    step 5.69 ms  368.8M rows/s
+        rmfloor4096   step 5.67 ms  369.7M rows/s
+
+    NO DIFFERENCE — hypothesis refuted: doubling the dependency distance
+    does not let the current Mosaic scheduler overlap the insert chain
+    with the other parity's MXU work; cross-iteration software
+    pipelining of compute (as opposed to DMA) is not happening, so the
+    chain cost is per-step serial latency, not a cross-step hazard.
+    Also worth recording: the single-list kernel-only floor at tile 4096
+    is 5.67 ms — i.e. the WHOLE insert chain costs only ~0.1 ms over the
+    5.58 ms gen+GEMM+top-3 floor at this tile size, and the shipped
+    production step (5.91-5.97 ms) sits ~0.25-0.3 ms above its own
+    kernel floor, all of it XLA-side append/cond machinery. There is no
+    remaining in-kernel lever of consequence; the single-list production
+    kernel stays.
+    """
+    from kmersgwas_tpu.ops.score import _unpack_dot_t
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(N_USED, P)).astype(np.float32)
+    yp, ysum = score_ops.prepare_phenotypes(y, N_PAD)
+    yp, ysum = jax.device_put(yp), jax.device_put(ysum)
+    gen = make_gen()
+    tile_rows = 4096
+
+    def _parity_kernel(packed_ref, pop_ref, yt_ref, ysum_ref, th_ref,
+                       va_ref, ga_ref, vb_ref, gb_ref, ok_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            va_ref[...] = jnp.full(va_ref.shape, -jnp.inf, jnp.float32)
+            ga_ref[...] = jnp.zeros(ga_ref.shape, jnp.int32)
+            vb_ref[...] = jnp.full(vb_ref.shape, -jnp.inf, jnp.float32)
+            gb_ref[...] = jnp.zeros(gb_ref.shape, jnp.int32)
+            ok_ref[...] = jnp.ones(ok_ref.shape, jnp.int32)
+
+        w = packed_ref[...]
+        yigi = _unpack_dot_t(w, yt_ref[...], "default")
+        n = jnp.float32(N_USED)
+        n1 = pop_ref[...]
+        r = n * yigi - ysum_ref[...] * n1
+        denom = n * n1 - n1 * n1
+        score = jnp.where(denom > 0, (r * r) / denom, 0.0)
+        okm = ((n1 >= jnp.float32(MIN_COUNT))
+               & ((n - n1) >= jnp.float32(MIN_COUNT)))
+        score = jnp.where(okm, score, 0.0)
+        score = jnp.where(n1 > 0, score, -jnp.inf)
+
+        th = th_ref[...]
+        m1 = jnp.max(score, axis=1, keepdims=True)
+        a1 = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+        idx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        idx_f = idx.astype(jnp.float32)
+        big = (idx == a1).astype(jnp.float32) * jnp.float32(-3e38)
+        score2 = score + big + big
+        m2 = jnp.max(score2, axis=1, keepdims=True)
+        eq2 = (score2 == m2).astype(jnp.float32)
+        n2 = jnp.sum(eq2, axis=1, keepdims=True).astype(jnp.int32)
+        a2 = jnp.minimum(jnp.sum(idx_f * eq2, axis=1, keepdims=True)
+                         .astype(jnp.int32), tile_rows - 1)
+        big2 = (idx == a2).astype(jnp.float32) * jnp.float32(-3e38)
+        score3 = score2 + big2 + big2
+        m3 = jnp.max(score3, axis=1, keepdims=True)
+        eq3 = (score3 == m3).astype(jnp.float32)
+        n3 = jnp.sum(eq3, axis=1, keepdims=True).astype(jnp.int32)
+        a3 = jnp.minimum(jnp.sum(idx_f * eq3, axis=1, keepdims=True)
+                         .astype(jnp.int32), tile_rows - 1)
+        cnt = jnp.sum((score > th).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        g_ok = ((cnt <= 3)
+                & ((m2 <= th) | (n2 == 1)) & ((m3 <= th) | (n3 == 1)))
+        ok_ref[...] = ok_ref[...] * jnp.broadcast_to(
+            g_ok.astype(jnp.int32), ok_ref.shape)
+
+        base = t * tile_rows
+        lane = jax.lax.broadcasted_iota(jnp.int32, va_ref.shape, 1)
+
+        def insert(vref, gref):
+            for m, a in ((m1, a1), (m2, a2), (m3, a3)):
+                g = base + a
+                cur_v = vref[...]
+                cur_g = gref[...]
+                minv = jnp.min(cur_v, axis=1, keepdims=True)
+                am = jnp.argmin(cur_v, axis=1).astype(jnp.int32)[:, None]
+                hit = (lane == am) & jnp.broadcast_to(m > minv, cur_v.shape)
+                vref[...] = jnp.where(hit, jnp.broadcast_to(m, cur_v.shape),
+                                      cur_v)
+                gref[...] = jnp.where(hit, jnp.broadcast_to(g, cur_g.shape),
+                                      cur_g)
+
+        @pl.when(t % 2 == 0)
+        def _ins_a():
+            insert(va_ref, ga_ref)
+
+        @pl.when(t % 2 == 1)
+        def _ins_b():
+            insert(vb_ref, gb_ref)
+
+    # build the call with the real phenotype block once
+    pc_pad = ((P + 7) // 8) * 8
+    yt_h = np.zeros((pc_pad, N_PAD), np.float32)
+    yt_h[:P, :] = np.asarray(yp).T
+    ysum2_h = np.zeros((pc_pad, 1), np.float32)
+    ysum2_h[:P, 0] = np.asarray(ysum)
+    th_h = np.full((pc_pad, 1), np.float32(1e30))
+    yt_d = jax.device_put(yt_h)
+    ysum2_d = jax.device_put(ysum2_h)
+    th_d = jax.device_put(th_h)
+    n_tiles = ROWS // tile_rows
+
+    def parity(packed_t, pc):
+        return pl.pallas_call(
+            _parity_kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((W32, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, N_PAD), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pc_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((pc_pad, 128), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)] * 5,
+            out_shape=[
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.int32),
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.int32),
+                jax.ShapeDtypeStruct((pc_pad, 128), jnp.int32),
+            ],
+        )(packed_t, pc[None, :], yt_d, ysum2_d, th_d)
+
+    if "parity4096" in variants:
+        @jax.jit
+        def windowp(carry, seed, base):
+            def body(c, _):
+                acc, sd = c
+                packed, pc = gen(sd)
+                va, ga, vb, gb, ok = parity(packed, pc)
+                acc = (acc + va[0, 0] + ga.astype(jnp.float32)[0, 0]
+                       + vb[0, 0] + gb.astype(jnp.float32)[0, 0])
+                return (acc, sd + ROWS // GEN_TILE), None
+            (acc, seed), _ = jax.lax.scan(body, (carry, seed), length=S)
+            return acc, seed, base
+        run_windows(windowp, jnp.float32(0), n_windows=16, n_ramp=8,
+                    label="parity4096")
+    if "rmfloor4096" in variants:
+        from kmersgwas_tpu.ops.score import score_batch_t_pallas_topw
+
+        @jax.jit
+        def windowf(carry, seed, base):
+            def body(c, _):
+                acc, sd = c
+                packed, pc = gen(sd)
+                cv, cg, ok = score_batch_t_pallas_topw.__wrapped__(
+                    packed, pc, yp, ysum,
+                    jnp.full((P,), jnp.float32(1e30)),
+                    n_used=N_USED, min_count=MIN_COUNT,
+                    tile_rows=tile_rows, cand_w=256, pre_transposed=True)
+                acc = acc + cv[0, 0] + cg.astype(jnp.float32)[0, 0]
+                return (acc, sd + ROWS // GEN_TILE), None
+            (acc, seed), _ = jax.lax.scan(body, (carry, seed), length=S)
+            return acc, seed, base
+        run_windows(windowf, jnp.float32(0), n_windows=16, n_ramp=8,
+                    label="rmfloor4096")
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["topw4"]:
+    main_topw4(sys.argv[2:] or ["rmfloor4096", "parity4096"])
